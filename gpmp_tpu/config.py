@@ -1,0 +1,121 @@
+# gpmp_tpu/config.py
+"""Process-wide configuration for gpmp_tpu.
+
+TPU-native re-design of the reference configuration layer
+(/root/reference/gpmp/config.py:94-236).  Differences, by design:
+
+- There is a single numerical backend (JAX); the numpy/torch dispatcher of
+  the reference does not exist.  ``set_backend`` is kept as a no-op shim that
+  accepts only "jax" so that reference-style user code keeps working.
+- dtype: the reference is float64-only (config.py:59-78).  On TPU, float64 is
+  supported (via jax_enable_x64) but the MXU natively computes in
+  f32/bf16, so we additionally allow "float32" as a fast mode.  The default
+  is float64 for numerical parity with the reference.
+- device: "tpu" / "cpu" / "gpu"; defaults to whatever JAX selects.
+
+Environment variables honored at import time:
+  GPMP_DTYPE      "float64" (default) or "float32"
+  GPMP_LOG_LEVEL  standard logging level name
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+_VALID_DTYPES = ("float64", "float32")
+
+
+def _normalize_dtype_spec(spec: Any) -> str:
+    """Normalize a dtype spec ('float64', np/jnp dtype, ...) to a string."""
+    if spec is None:
+        return "float64"
+    s = str(spec)
+    for cand in _VALID_DTYPES:
+        if cand in s:
+            return cand
+    raise ValueError(
+        f"Unsupported dtype spec {spec!r}; expected one of {_VALID_DTYPES}."
+    )
+
+
+@dataclass
+class _GPmpTpuConfig:
+    backend: str = "jax"
+    dtype: str = "float64"
+    dtype_resolved: Any = None  # set by gpmp_tpu.num at import
+    device: str = "auto"
+    seed: int = 1234
+    caches: Dict[str, Dict] = field(default_factory=dict)
+    logger: Optional[logging.Logger] = None
+
+    def update(self, **kwargs) -> None:
+        for key, value in kwargs.items():
+            if not hasattr(self, key):
+                raise KeyError(f"Unknown config key: {key}")
+            setattr(self, key, value)
+
+
+_config = _GPmpTpuConfig()
+
+
+def get_config() -> _GPmpTpuConfig:
+    return _config
+
+
+def init_backend() -> str:
+    """Return the backend name.  Kept for reference-API compatibility."""
+    return "jax"
+
+
+def set_backend(name: str) -> None:
+    if name not in ("jax",):
+        raise ValueError(
+            "gpmp_tpu is a single-backend (JAX) framework; "
+            f"backend {name!r} is not available."
+        )
+    _config.backend = "jax"
+
+
+def set_dtype(spec: Any) -> None:
+    """Set the working dtype.  Must be called before importing gpmp_tpu.num."""
+    dtype = _normalize_dtype_spec(spec)
+    if _config.dtype_resolved is not None and dtype != _config.dtype:
+        raise RuntimeError(
+            "dtype cannot be changed after gpmp_tpu.num has been imported "
+            "(jax_enable_x64 is a process-level switch)."
+        )
+    _config.dtype = dtype
+
+
+def set_device(device: str) -> None:
+    _config.device = device
+
+
+def clear_caches() -> None:
+    _config.caches.clear()
+
+
+def get_logger() -> logging.Logger:
+    if _config.logger is None:
+        logger = logging.getLogger("gpmp_tpu")
+        if not logger.handlers:
+            handler = logging.StreamHandler()
+            handler.setFormatter(logging.Formatter("[%(levelname)s] %(message)s"))
+            logger.addHandler(handler)
+        level = os.environ.get("GPMP_LOG_LEVEL", "WARNING").upper()
+        logger.setLevel(getattr(logging, level, logging.WARNING))
+        _config.logger = logger
+    return _config.logger
+
+
+def set_log_level(level: str) -> None:
+    get_logger().setLevel(getattr(logging, level.upper()))
+
+
+# Read env at import (mirrors reference config.py:174-187 behavior).
+_env_dtype = os.environ.get("GPMP_DTYPE")
+if _env_dtype is not None:
+    _config.dtype = _normalize_dtype_spec(_env_dtype)

@@ -1,0 +1,74 @@
+# gpmp_tpu/core/linalg.py
+"""Linear-algebra helpers shared across gpmp_tpu.core.
+
+Reimplements the semantics of /root/reference/gpmp/core/linalg.py:17-141
+as pure jittable functions.
+"""
+
+import jax.numpy as jnp
+
+import gpmp_tpu.num as gnp
+
+
+def diag_Kinv_from_chol(C, lower: bool = True):
+    """diag(K^{-1}) from a Cholesky factor C of K (reference linalg.py:17-46).
+
+    With K = C C^T (C lower), K^{-1} = C^{-T} C^{-1}; letting T = C^{-1},
+    diag(K^{-1}) is the columnwise sum of squares of T.
+    """
+    n = C.shape[0]
+    T = gnp.solve_triangular(C, jnp.eye(n, dtype=C.dtype), lower=lower)
+    if lower:
+        return jnp.sum(T * T, axis=0)
+    return jnp.sum(T * T, axis=1)
+
+
+def compute_contrast_matrix(P):
+    """W whose columns span Null(P^T), from a complete QR of P."""
+    n, q = P.shape
+    Q, _R = gnp.qr(P, mode="complete")
+    return Q[:, q:n]
+
+
+def compute_contrast_covariance(W, K):
+    """G = W^T (K W): covariance of the contrasts W^T z for z ~ N(0, K)."""
+    return gnp.matmul(W.T, gnp.matmul(K, W))
+
+
+def qr_nullspace(P):
+    """(Q1, W, Rq): Col(P) basis, Null(P^T) basis, leading R block."""
+    Q, R = gnp.qr(P, mode="complete")
+    q = P.shape[1]
+    return Q[:, :q], Q[:, q:], R[:q, :q]
+
+
+def norm_k_sqrd_with_zero_mean(model, xi, zi, covparam):
+    """z^T K^{-1} z for zero-mean models."""
+    K = model.covariance(xi, xi, covparam)
+    Kinv_zi, _ = gnp.cholesky_solve(K, zi)
+    return gnp.einsum("i..., i...", zi, Kinv_zi)
+
+
+def k_inverses(model, xi, zi, covparam):
+    """(z^T K^{-1} z, K^{-1} 1, K^{-1} z) via one Cholesky (the reference
+    forms the explicit inverse, linalg.py:121-129; we solve instead)."""
+    K = model.covariance(xi, xi, covparam)
+    zi_col = zi.reshape(-1, 1)
+    ones_col = jnp.ones_like(zi_col)
+    rhs = jnp.concatenate([zi_col, ones_col], axis=1)
+    sol, _C = gnp.cholesky_solve(K, rhs)
+    Kinv_zi = sol[:, 0].reshape(zi.shape)
+    Kinv_1 = sol[:, 1].reshape(zi.shape)
+    zTKinvz = gnp.einsum("i..., i...", zi, Kinv_zi)
+    return zTKinvz, Kinv_1, Kinv_zi
+
+
+def norm_k_sqrd(model, xi, zi, covparam):
+    """(Wz)^T (W^T K W)^{-1} (Wz) for linear_predictor models."""
+    K = model.covariance(xi, xi, covparam)
+    P = model.mean(xi, model.meanparam)
+    W = compute_contrast_matrix(P)
+    Wzi = gnp.matmul(W.T, zi)
+    G = compute_contrast_covariance(W, K)
+    WKWinv_Wzi, _ = gnp.cholesky_solve(G, Wzi)
+    return gnp.einsum("i..., i...", Wzi, WKWinv_Wzi)

@@ -1,0 +1,24 @@
+# gpmp_tpu/parallel/__init__.py
+"""Multi-chip layer: device meshes, sharded gram construction, and
+data-parallel batched criteria.
+
+This layer has no reference counterpart (the reference is strictly
+single-process, SURVEY.md section 2.7); it is the TPU-native scale-out
+design: jax.sharding.Mesh over ICI, shard_map + XLA collectives.
+"""
+
+from .mesh import make_mesh, default_mesh
+from .batched import (
+    make_data_parallel_criterion,
+    shard_batches,
+)
+from .gram import sharded_gram, sharded_matvec
+
+__all__ = [
+    "make_mesh",
+    "default_mesh",
+    "make_data_parallel_criterion",
+    "shard_batches",
+    "sharded_gram",
+    "sharded_matvec",
+]

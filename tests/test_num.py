@@ -1,0 +1,184 @@
+# tests/test_num.py
+"""Unit tests for the gnp (gpmp_tpu.num) namespace against NumPy/SciPy oracles."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+import scipy.spatial.distance
+
+import gpmp_tpu.num as gnp
+
+
+def test_dtype_is_float64():
+    assert gnp.asarray([1.0, 2.0]).dtype == np.float64
+    assert gnp.zeros((3,)).dtype == np.float64
+
+
+def test_asarray_scalar_semantics():
+    a = gnp.asarray(3.0)
+    assert a.shape == (1,)
+    assert a.dtype == np.float64
+    b = gnp.asarray(3)
+    assert b.shape == (1,)
+
+
+def test_cdist_matches_scipy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(17, 3))
+    y = rng.normal(size=(11, 3))
+    d = gnp.cdist(gnp.asarray(x), gnp.asarray(y))
+    d_ref = scipy.spatial.distance.cdist(x, y)
+    np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_cdist_blocked_path():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(301, 2))
+    old = gnp._CDIST_BLOCK_BUDGET
+    try:
+        gnp._CDIST_BLOCK_BUDGET = 4096  # force the blocked lax.map path
+        d = gnp.cdist(gnp.asarray(x), gnp.asarray(x))
+    finally:
+        gnp._CDIST_BLOCK_BUDGET = old
+    d_ref = scipy.spatial.distance.cdist(x, x)
+    np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_scaled_distance():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(9, 4))
+    y = rng.normal(size=(6, 4))
+    loginvrho = rng.normal(size=(4,))
+    d = gnp.scaled_distance(gnp.asarray(loginvrho), gnp.asarray(x), gnp.asarray(y))
+    invrho = np.exp(loginvrho)
+    d_ref = scipy.spatial.distance.cdist(invrho * x, invrho * y)
+    np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-12, atol=1e-12)
+
+
+def _random_spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def test_cholesky_solve():
+    K = _random_spd(8, 3)
+    b = np.random.default_rng(4).normal(size=(8,))
+    x, L = gnp.cholesky_solve(gnp.asarray(K), gnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(K, b), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(L), np.linalg.cholesky(K), rtol=1e-10)
+
+
+def test_cholesky_solve_nonpd_gives_nan():
+    K = -np.eye(4)
+    x, L = gnp.cholesky_solve(gnp.asarray(K), gnp.asarray(np.ones(4)))
+    assert np.isnan(np.asarray(L)).any()
+
+
+def test_cholesky_inv():
+    K = _random_spd(6, 5)
+    Kinv = gnp.cholesky_inv(gnp.asarray(K))
+    np.testing.assert_allclose(np.asarray(Kinv), np.linalg.inv(K), rtol=1e-9)
+
+
+def test_logdet():
+    K = _random_spd(5, 6)
+    ld = gnp.logdet(gnp.asarray(K))
+    np.testing.assert_allclose(float(ld), np.linalg.slogdet(K)[1], rtol=1e-12)
+    assert np.isnan(float(gnp.logdet(gnp.asarray(-np.eye(3)))))
+
+
+def test_solve_and_inv_qr_based():
+    rng = np.random.default_rng(9)
+    A = rng.normal(size=(7, 7)) + 7 * np.eye(7)
+    b = rng.normal(size=(7, 2))
+    x = gnp.solve(gnp.asarray(A), gnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b), rtol=1e-9)
+    Ainv = gnp.inv(gnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(Ainv), np.linalg.inv(A), rtol=1e-8)
+
+
+def test_qr_complete():
+    rng = np.random.default_rng(7)
+    P = rng.normal(size=(10, 2))
+    Q, R = gnp.qr(gnp.asarray(P), mode="complete")
+    assert Q.shape == (10, 10)
+    np.testing.assert_allclose(np.asarray(Q) @ np.asarray(R), P, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(Q).T @ np.asarray(Q), np.eye(10), atol=1e-12
+    )
+
+
+def test_rng_seed_reproducible():
+    gnp.set_seed(42)
+    a = np.asarray(gnp.randn(5))
+    gnp.set_seed(42)
+    b = np.asarray(gnp.randn(5))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_grad_and_value_and_grad():
+    f = lambda x: gnp.sum(x**3)
+    x = gnp.asarray(np.array([1.0, 2.0, -1.0]))
+    g = gnp.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g), 3 * np.asarray(x) ** 2, rtol=1e-12)
+    v, g2 = gnp.value_and_grad(f, x)
+    np.testing.assert_allclose(float(v), float(f(x)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g), rtol=1e-12)
+
+
+def test_differentiable_selection_criterion_protocol():
+    x = gnp.asarray(np.linspace(0, 1, 10).reshape(-1, 1))
+    z = gnp.asarray(np.sin(np.linspace(0, 1, 10)))
+
+    def crit(p, xx, zz):
+        return gnp.sum((zz - p[0]) ** 2) * gnp.exp(p[1])
+
+    c = gnp.DifferentiableSelectionCriterion(crit, x, z)
+    p = np.array([0.1, -0.3])
+    v = c.evaluate_pre_grad(p)
+    g = c.gradient(p)
+    # finite-difference check
+    h = 1e-6
+    for i in range(2):
+        pp = p.copy()
+        pp[i] += h
+        pm = p.copy()
+        pm[i] -= h
+        fd = (c.evaluate_no_grad(pp) - c.evaluate_no_grad(pm)) / (2 * h)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-5)
+    assert np.isfinite(v)
+
+
+def test_criterion_nonfinite_maps_to_inf():
+    x = gnp.asarray(np.ones((4, 1)))
+    z = gnp.asarray(np.ones(4))
+
+    def crit(p, xx, zz):
+        # NaN for p[0] < 0 via log
+        return gnp.log(p[0]) * gnp.sum(zz)
+
+    c = gnp.DifferentiableSelectionCriterion(crit, x, z)
+    v = c.evaluate_pre_grad(np.array([-1.0]))
+    assert v == np.inf
+    g = c.gradient(np.array([-1.0]))
+    assert np.all(g == 0.0)
+
+
+def test_second_order_differentiable_function():
+    f = lambda x: gnp.sum(x**2) + x[0] * x[1]
+    sodf = gnp.SecondOrderDifferentiableFunction(f)
+    theta = np.array([1.0, 2.0])
+    sodf.evaluate(theta)
+    H = np.asarray(sodf.hessian())
+    np.testing.assert_allclose(H, np.array([[2.0, 1.0], [1.0, 2.0]]), rtol=1e-12)
+
+
+def test_multivariate_normal_logpdf():
+    import scipy.stats
+
+    cov = _random_spd(3, 8)
+    x = np.array([0.3, -0.2, 0.5])
+    lp = gnp.multivariate_normal.logpdf(x, mean=np.zeros(3), cov=cov)
+    lp_ref = scipy.stats.multivariate_normal.logpdf(x, mean=np.zeros(3), cov=cov)
+    np.testing.assert_allclose(float(lp), lp_ref, rtol=1e-9)

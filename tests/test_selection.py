@@ -1,0 +1,115 @@
+# tests/test_selection.py
+"""End-to-end parameter selection: the reference's example02 slice
+(twobumps, Matern p=3, constant-mean universal kriging, REML), plus
+init-guess and criterion-protocol checks."""
+
+import numpy as np
+
+import gpmp_tpu as gp
+import gpmp_tpu.num as gnp
+
+
+def constant_mean(x, param):
+    return gnp.ones((x.shape[0], 1))
+
+
+def kernel(x, y, covparam, pairwise=False):
+    return gp.kernel.maternp_covariance(x, y, 3, covparam, pairwise)
+
+
+def _example02_data():
+    dim, nt, ni = 1, 200, 6
+    box = [[-1], [1]]
+    xt = gp.misc.designs.regulargrid(dim, nt, box)
+    zt = gp.misc.testfunctions.twobumps(xt)
+    xi = gp.misc.designs.ldrandunif(dim, ni, box, seed=42)
+    zi = gp.misc.testfunctions.twobumps(xi)
+    return xt, zt, xi, zi
+
+
+def test_initial_guess_shapes_and_values():
+    xt, zt, xi, zi = _example02_data()
+    model = gp.Model(constant_mean, kernel)
+    covparam0 = gp.kernel.anisotropic_parameters_initial_guess(model, xi, zi)
+    covparam0 = np.asarray(covparam0)
+    assert covparam0.shape == (2,)
+    assert np.all(np.isfinite(covparam0))
+    # rho heuristic: exp(gammaln(d/2+1)/d)/sqrt(pi) * range, d=1
+    import scipy.special
+
+    rng = xi.max() - xi.min()
+    rho_expected = np.exp(scipy.special.gammaln(1.5)) / np.sqrt(np.pi) * rng
+    np.testing.assert_allclose(covparam0[1], -np.log(rho_expected), rtol=1e-8)
+
+
+def test_reml_selection_example02():
+    xt, zt, xi, zi = _example02_data()
+    model = gp.Model(constant_mean, kernel)
+    model, info = gp.kernel.select_parameters_with_reml(model, xi, zi, info=True)
+
+    assert info is not None
+    assert np.isfinite(info["covparam"]).all()
+    # criterion decreased from initial guess
+    J0 = info.history_criterion[0]
+    Jbest = min(info.history_criterion)
+    assert Jbest <= J0
+    # gradient at optimum should be small-ish (SLSQP convergence)
+    assert info.success or Jbest < J0
+
+    # prediction interpolates the observations (noise-free kriging)
+    zpm, zpv = model.predict(xi, zi, xi)
+    np.testing.assert_allclose(zpm, zi, atol=1e-5)
+    np.testing.assert_allclose(zpv, np.zeros_like(zpv), atol=1e-5)
+
+    # prediction error on the target grid is reasonable for ni=6
+    zpm_t, zpv_t = model.predict(xi, zi, xt)
+    rmse = float(np.sqrt(np.mean((zpm_t - zt) ** 2)))
+    assert rmse < 0.5, f"RMSE too large: {rmse}"
+    assert np.all(zpv_t >= 0)
+
+
+def test_remap_selection_example02():
+    xt, zt, xi, zi = _example02_data()
+    model = gp.Model(constant_mean, kernel)
+    model, info = gp.kernel.select_parameters_with_remap(model, xi, zi, info=True)
+    assert np.isfinite(np.asarray(model.covparam)).all()
+    zpm, _ = model.predict(xi, zi, xi)
+    np.testing.assert_allclose(zpm, zi, atol=1e-4)
+
+
+def test_ml_constant_mean_selection():
+    xt, zt, xi, zi = _example02_data()
+
+    def pmean(x, param):
+        return param[0] * gnp.ones((x.shape[0], 1))
+
+    model = gp.Model(pmean, kernel, meanparam=gnp.asarray([0.0]),
+                     meantype="parameterized")
+    model, info = gp.kernel.select_parameters_with_ml_constant_mean(
+        model, xi, zi, info=True
+    )
+    assert model.meanparam is not None
+    assert np.isfinite(np.asarray(model.covparam)).all()
+    zpm, _ = model.predict(xi, zi, xi)
+    np.testing.assert_allclose(zpm, zi, atol=1e-4)
+
+
+def test_update_parameters_with_reml():
+    _xt, _zt, xi, zi = _example02_data()
+    model = gp.Model(constant_mean, kernel)
+    model, _ = gp.kernel.select_parameters_with_reml(model, xi, zi)
+    cov1 = np.asarray(model.covparam).copy()
+    model, _ = gp.kernel.update_parameters_with_reml(model, xi, zi)
+    cov2 = np.asarray(model.covparam)
+    # re-optimization from the optimum should stay near it
+    np.testing.assert_allclose(cov1, cov2, atol=0.5)
+
+
+def test_selection_criterion_callables_in_info():
+    _xt, _zt, xi, zi = _example02_data()
+    model = gp.Model(constant_mean, kernel)
+    model, info = gp.kernel.select_parameters_with_reml(model, xi, zi, info=True)
+    p = np.asarray(info["covparam"])
+    v1 = info["selection_criterion"](p)
+    v2 = info["selection_criterion_nograd"](p)
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
