@@ -649,6 +649,17 @@ class DifferentiableSelectionCriterion:
         _, g = self._compute(p)
         return g
 
+    def evaluate_batch(self, P):
+        """Vectorized evaluation over a (m, p) stack of parameter vectors:
+        one jitted vmap call instead of m host round-trips (used by the
+        diagnostics profilers)."""
+        if not hasattr(self, "_vbatch"):
+            self._vbatch = jax.jit(
+                jax.vmap(lambda p, xx, zz: self.crit(p, xx, zz), in_axes=(0, None, None))
+            )
+        vals = self._vbatch(asarray(P), self.x, self.z)
+        return _onp.asarray(vals)
+
 
 class BatchDifferentiableSelectionCriterion:
     """Batched criterion over a DataLoader: jitted per-batch value_and_grad,

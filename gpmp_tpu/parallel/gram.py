@@ -12,7 +12,7 @@ of SURVEY.md section 5: K never materializes on one chip.)
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def sharded_gram(cov_fn, x, covparam, mesh, axis_name="shard"):
