@@ -1,0 +1,756 @@
+# gpmp_tpu/mcmc/mh.py
+"""Adaptive Metropolis-Hastings, TPU-native.
+
+Reference semantics: /root/reference/gpmp/mcmc/mh.py:80-1081 (MHOptions,
+multi-chain random-walk MH with Robbins-Monro or Haario adaptation,
+burn-in scheduler with early stopping, sliding acceptance rates,
+Gelman-Rubin and KS diagnostics).
+
+TPU design: the reference loops steps x chains in Python
+(mh.py:422-436); here one adaptation block is ONE jitted
+``lax.scan`` over steps with all chains advanced simultaneously
+(batched proposal via per-chain Cholesky factors, batched log-target).
+Adaptation (block-level, like the reference) and the scheduler run on
+host over the accumulated numpy traces.  The target ``log_target`` must
+be jax-traceable and is vmapped over chains; non-finite values behave
+as -inf (rejection), replacing the reference's exception handling.
+"""
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import gpmp_tpu.num as gnp
+
+
+def sample_multivariate_normal_with_jitter(mean, cov, initial_jitter=1e-8,
+                                           max_attempts=5, key=None):
+    """Draw one mvn sample, escalating diagonal jitter if the Cholesky
+    factorization produces NaNs (reference mh.py:59-77)."""
+    cov = gnp.asarray(cov)
+    dim = cov.shape[0]
+    mean = gnp.asarray(mean).reshape(-1)
+    if key is None:
+        key = gnp.next_key()
+    jitter = 0.0
+    for _ in range(max_attempts + 1):
+        cov_try = cov if jitter == 0.0 else cov + jitter * jnp.eye(dim)
+        L = jnp.linalg.cholesky(cov_try)
+        if not bool(jnp.any(jnp.isnan(L))):
+            eps = jax.random.normal(key, (dim,), dtype=cov.dtype)
+            return mean + L @ eps
+        jitter = initial_jitter if jitter == 0.0 else 10.0 * jitter
+    raise RuntimeError(
+        "Covariance matrix is not positive definite even after adding jitter."
+    )
+
+
+@dataclass
+class MHOptions:
+    """Configuration of the Metropolis-Hastings sampler."""
+
+    dim: int = 1
+    n_chains: int = 1
+    symmetric: bool = True
+    target_acceptance: float = 0.3
+    acceptance_tol: float = 0.15
+    adaptation_method: str = "Haario"
+    proposal_distribution_param_init: Optional[Any] = field(default=None)
+    adaptation_interval: int = 50
+    freeze_adaptation: bool = True
+    discard_burnin: bool = False
+    n_pool: int = 1
+    RM_adapt_factor: float = 1.0
+    RM_diminishing: bool = True
+    haario_adapt_factor_burnin_phase: float = 1.0
+    haario_adapt_factor_sampling_phase: float = 0.5
+    haario_initial_scaling_factor: float = 1.0
+    sliding_rate_width: int = 200
+    show_global_progress: bool = False
+    progress_interval: int = 200
+    init_msg: Optional[str] = field(
+        default="Sampling from target distribution..."
+    )
+    seed: Optional[int] = None
+
+    def __post_init__(self):
+        if self.proposal_distribution_param_init is None:
+            self.proposal_distribution_param_init = np.ones(self.dim)
+        self.acceptance_min = self.target_acceptance - self.acceptance_tol
+        self.acceptance_max = self.target_acceptance + self.acceptance_tol
+
+
+class MetropolisHastings:
+    """Multi-chain adaptive random-walk MH.
+
+    Traces after ``scheduler``: ``x`` (n_chains, 1 + n_steps, dim),
+    ``accept`` (n_chains, 1 + n_steps), ``log_target_values``; all
+    host-side numpy (appended block by block from device).
+    """
+
+    def __init__(self, log_target, prop_rnd=None, options: MHOptions = None):
+        self.options = options or MHOptions()
+        self.log_target = log_target
+        if prop_rnd is not None:
+            raise NotImplementedError(
+                "Custom prop_rnd is not supported by the scan kernel; "
+                "use proposal_distribution_param_init to shape the Gaussian "
+                "random walk."
+            )
+
+        self.n_chains = self.options.n_chains
+        self.dim = self.options.dim
+        self.symmetric = self.options.symmetric
+        self.target_acceptance = self.options.target_acceptance
+
+        self.proposal_distribution_params = None
+        self.haario_adapt_factor = None
+        init_scale = self.options.haario_initial_scaling_factor
+        if init_scale is None:
+            init_scale = 2.38**2 / self.dim
+        self.haario_scaling_factors = np.full(self.n_chains, float(init_scale))
+
+        self.x = None
+        self.log_target_values = None
+        self.accept = None
+        self.rates = None
+
+        self.sampling_mode = "init"
+        self.burnin_period = 0
+        self.global_iter = 0
+        self.global_total = 0
+        self.start_time = None
+
+        self._key = jax.random.PRNGKey(
+            self.options.seed if self.options.seed is not None
+            else int(np.random.default_rng().integers(2**31))
+        )
+        self._block_kernel = None
+        self._vmapped_logtarget = jax.jit(jax.vmap(self._safe_log_target))
+
+    # ------------------------------------------------------------------
+    # jitted batched kernel
+    # ------------------------------------------------------------------
+    def _safe_log_target(self, x):
+        v = self.log_target(x)
+        v = jnp.asarray(v).reshape(())
+        return jnp.where(jnp.isnan(v), -jnp.inf, v)
+
+    def _get_block_kernel(self):
+        """scan kernel advancing all chains n steps with fixed per-chain
+        proposal Cholesky factors."""
+        if self._block_kernel is not None:
+            return self._block_kernel
+
+        safe_lt = self._safe_log_target
+
+        def block(x0, lt0, chols, keys):
+            def step2(carry, key):
+                x, lt = carry
+                k_prop, k_u = jax.random.split(key)
+                eps = jax.random.normal(k_prop, x.shape, dtype=x.dtype)
+                y = x + jnp.einsum("cij,cj->ci", chols, eps)
+                lt_y = jax.vmap(safe_lt)(y)
+                log_a = lt_y - lt
+                u = jnp.maximum(
+                    jax.random.uniform(k_u, (x.shape[0],), dtype=x.dtype), 1e-300
+                )
+                accept = jnp.log(u) < log_a
+                x_new = jnp.where(accept[:, None], y, x)
+                lt_new = jnp.where(accept, lt_y, lt)
+                return (x_new, lt_new), (x_new, accept, lt_new)
+
+            (xf, ltf), (xs, accepts, lts) = lax.scan(step2, (x0, lt0), keys)
+            return xf, ltf, xs, accepts, lts
+
+        self._block_kernel = jax.jit(block)
+        return self._block_kernel
+
+    def _proposal_chols(self):
+        """(n_chains, dim, dim) Cholesky factors of per-chain proposal covs."""
+        chols = np.empty((self.n_chains, self.dim, self.dim))
+        for c in range(self.n_chains):
+            cov = self._get_cov_parameter(c)
+            cov = np.asarray(gnp.to_np(gnp.asarray(cov)))
+            L = np.linalg.cholesky(cov + 0.0)
+            chols[c] = L
+        return jnp.asarray(chols)
+
+    def _get_cov_parameter(self, chain_idx):
+        p = self.proposal_distribution_params[chain_idx]
+        p = np.asarray(p)
+        if p.ndim == 0:
+            return float(p) * np.eye(self.dim)
+        if p.ndim == 1:
+            return np.diag(p)
+        if p.ndim == 2:
+            return p
+        raise ValueError("proposal_params must be scalar, 1D, or 2D per chain.")
+
+    def _initialize_proposal_distribution_params(self, p_init):
+        p_init = np.asarray(gnp.to_np(gnp.asarray(p_init)))
+        if p_init.ndim == 1 and p_init.shape[0] == self.dim:
+            return [p_init.copy() for _ in range(self.n_chains)]
+        if p_init.ndim == 2 and p_init.shape == (self.dim, self.dim):
+            return [p_init.copy() for _ in range(self.n_chains)]
+        if p_init.ndim == 3 and p_init.shape[0] == self.n_chains:
+            return [p_init[i].copy() for i in range(self.n_chains)]
+        raise ValueError("Invalid proposal_param_init shape.")
+
+    # ------------------------------------------------------------------
+    # block runner
+    # ------------------------------------------------------------------
+    def run_samples(self, n_steps, show_global_progress=False):
+        """Advance all chains n_steps with the current proposal; returns
+        per-chain block acceptance rates."""
+        if n_steps <= 0:
+            return np.zeros(self.n_chains)
+        i0 = self.global_iter + 1
+        kernel = self._get_block_kernel()
+        chols = self._proposal_chols()
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, n_steps)
+        x0 = jnp.asarray(self.x[:, self.global_iter, :])
+        lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
+        lt0 = jnp.where(jnp.isnan(lt0), jax.vmap(self._safe_log_target)(x0), lt0)
+
+        _xf, _ltf, xs, accepts, lts = kernel(x0, lt0, chols, keys)
+
+        xs = np.asarray(xs)  # (n_steps, C, d)
+        accepts = np.asarray(accepts)
+        lts = np.asarray(lts)
+        self.x[:, i0 : i0 + n_steps, :] = np.swapaxes(xs, 0, 1)
+        self.accept[:, i0 : i0 + n_steps] = np.swapaxes(accepts, 0, 1)
+        self.log_target_values[:, i0 : i0 + n_steps] = np.swapaxes(lts, 0, 1)
+        self.global_iter += n_steps
+
+        if show_global_progress and (
+            self.global_iter % self.options.progress_interval < n_steps
+        ):
+            self._print_progress(self.global_iter, self.global_total,
+                                 self.start_time)
+        return accepts.mean(axis=0)
+
+    # ------------------------------------------------------------------
+    # adaptation
+    # ------------------------------------------------------------------
+    def _diminishing_adaptation_schedule(self, n, n_total, base, final_frac=0.1):
+        cosine_component = math.cos(math.pi * n / max(n_total, 1))
+        return base * (final_frac + (1 - final_frac) * cosine_component)
+
+    def run_adaptive_RM(self, n_block_size, diminishing=True):
+        """Robbins-Monro scale adaptation toward the target acceptance."""
+        gamma_base = self.options.RM_adapt_factor
+        rates = self.run_samples(
+            n_block_size, show_global_progress=self.options.show_global_progress
+        )
+        if diminishing:
+            gamma = self._diminishing_adaptation_schedule(
+                self.global_iter, self.burnin_period, gamma_base, final_frac=0.1
+            )
+        else:
+            gamma = gamma_base
+        for c in range(self.n_chains):
+            self.proposal_distribution_params[c] = self.proposal_distribution_params[
+                c
+            ] * math.exp(gamma * (float(rates[c]) - self.target_acceptance))
+
+    def _compute_covariances_for_block(self, x_block, n_pool=1):
+        n_chains = x_block.shape[0]
+        if n_chains % n_pool != 0:
+            raise ValueError("n_chains must be divisible by n_pool.")
+        n_groups = n_chains // n_pool
+        covs = np.empty((n_groups, self.dim, self.dim))
+        for i, start in enumerate(range(0, n_chains, n_pool)):
+            grp = x_block[start : start + n_pool].reshape(-1, self.dim)
+            covs[i] = np.cov(grp.T, ddof=1).reshape(self.dim, self.dim)
+        return covs
+
+    def update_proposal_covariance_from_samples(self, x_chain=None, raw_cov=None,
+                                                scaling=None, epsilon=1e-6):
+        """Haario update: new_cov = scaling * EmpCov + epsilon * I."""
+        if (x_chain is None) == (raw_cov is None):
+            raise ValueError("Must supply exactly one of x_chain or raw_cov.")
+        if scaling is None:
+            scaling = 2.38**2 / self.dim
+        used_cov = (
+            raw_cov if raw_cov is not None
+            else np.cov(np.asarray(x_chain).T, ddof=1).reshape(self.dim, self.dim)
+        )
+        return scaling * np.asarray(used_cov) + epsilon * np.eye(self.dim)
+
+    def run_adaptive_Haario(self, n_block_size, epsilon=1e-6):
+        """Haario covariance adaptation per chain group."""
+        block_rates = self.run_samples(
+            n_block_size, show_global_progress=self.options.show_global_progress
+        )
+        i0 = self.global_iter - n_block_size + 1
+        i1 = self.global_iter + 1
+        covs = self._compute_covariances_for_block(
+            self.x[:, i0:i1, :], self.options.n_pool
+        )
+        for c in range(self.n_chains):
+            grp = c // self.options.n_pool
+            self.haario_scaling_factors[c] *= math.exp(
+                self.haario_adapt_factor
+                * (float(block_rates[c]) - self.target_acceptance)
+            )
+            self.proposal_distribution_params[c] = (
+                self.update_proposal_covariance_from_samples(
+                    raw_cov=covs[grp],
+                    scaling=self.haario_scaling_factors[c],
+                    epsilon=epsilon,
+                )
+            )
+
+    def run_adaptive(self, n_samples):
+        n_blocks = n_samples // self.options.adaptation_interval
+        remainder = n_samples - n_blocks * self.options.adaptation_interval
+        method = self.options.adaptation_method.lower()
+        for _ in range(n_blocks):
+            if method == "rm":
+                self.run_adaptive_RM(self.options.adaptation_interval,
+                                     diminishing=False)
+            elif method == "haario":
+                self.run_adaptive_Haario(self.options.adaptation_interval)
+            else:
+                raise ValueError("adaptation_method must be 'RM' or 'Haario'.")
+        if remainder > 0:
+            self.run_samples(
+                remainder, show_global_progress=self.options.show_global_progress
+            )
+
+    # ------------------------------------------------------------------
+    # scheduler
+    # ------------------------------------------------------------------
+    def set_mode(self, mode):
+        self.sampling_mode = mode
+        if mode == "burnin":
+            self.haario_adapt_factor = self.options.haario_adapt_factor_burnin_phase
+        elif mode == "sampling_adaptation":
+            self.haario_adapt_factor = (
+                self.options.haario_adapt_factor_sampling_phase
+            )
+
+    def run_burnin(self, burnin_period, diag=True, n_blocks_convergence_diag=20):
+        """Burn-in block loop with early stopping on (acceptance window AND
+        Gelman-Rubin) convergence (reference mh.py:534-618)."""
+        n_blocks = burnin_period // self.options.adaptation_interval
+        remainder = burnin_period - n_blocks * self.options.adaptation_interval
+        method = self.options.adaptation_method.lower()
+        n_diag_samples = n_blocks_convergence_diag * self.options.adaptation_interval
+        converged_early = False
+
+        for _block in range(n_blocks):
+            if method == "rm":
+                self.run_adaptive_RM(self.options.adaptation_interval,
+                                     diminishing=self.options.RM_diminishing)
+            elif method == "haario":
+                self.run_adaptive_Haario(self.options.adaptation_interval)
+            else:
+                raise ValueError("adaptation_method must be 'RM' or 'Haario'.")
+
+            if diag and self.global_iter >= n_diag_samples:
+                rates = self.compute_sliding_rates(self.options.sliding_rate_width)
+                i0 = max(0, self.global_iter - n_diag_samples)
+                rates_w = rates[:, i0 : self.global_iter]
+                min_ar = rates_w.min(axis=1)
+                max_ar = rates_w.max(axis=1)
+                if self.n_chains >= 2:
+                    gr = self.check_convergence_gelman_rubin(
+                        last_n_samples=n_diag_samples, verbose=False
+                    )
+                else:
+                    gr = {"ok": True}
+                if (
+                    np.all(min_ar > self.options.acceptance_min)
+                    and np.all(max_ar < self.options.acceptance_max)
+                    and gr.get("ok", False)
+                ):
+                    print(
+                        f"\nEarly stopping: convergence detected during burn-in "
+                        f"at iter = {self.global_iter}."
+                    )
+                    self.burnin_period = self.global_iter
+                    converged_early = True
+                    break
+
+        if (not converged_early) and remainder > 0:
+            self.run_samples(
+                remainder, show_global_progress=self.options.show_global_progress
+            )
+
+        if diag:
+            print("\nConvergence Diagnostics after burn-in:")
+            if self.global_iter <= 1:
+                print("Not enough samples to run diagnostics after burn-in.")
+                return
+            rates = self.compute_sliding_rates(self.options.sliding_rate_width)
+            self.check_acceptance_rates(
+                last_n_samples=n_diag_samples,
+                rates=rates,
+                low_threshold=self.options.acceptance_min,
+                high_threshold=self.options.acceptance_max,
+            )
+            if self.n_chains >= 2:
+                self.check_convergence_gelman_rubin(last_n_samples=n_diag_samples)
+
+    def scheduler(self, chains_state_initial, n_steps_total, burnin_period,
+                  replicate_initial_state=True):
+        """Full run: burn-in (adaptive) then sampling (frozen or adaptive)."""
+        chains_state_initial = np.asarray(
+            gnp.to_np(gnp.asarray(chains_state_initial))
+        )
+        if chains_state_initial.ndim == 1:
+            chains_state_initial = chains_state_initial.reshape(1, -1)
+        if (
+            chains_state_initial.shape == (1, self.dim)
+            and replicate_initial_state
+            and self.n_chains > 1
+        ):
+            chains_state_initial = np.tile(chains_state_initial,
+                                           (self.n_chains, 1))
+        if chains_state_initial.shape != (self.n_chains, self.dim):
+            raise ValueError(
+                f"chains_state_initial must have shape "
+                f"({self.n_chains}, {self.dim}) or be 1D if "
+                f"replicate_initial_state=True. Got {chains_state_initial.shape}."
+            )
+        if n_steps_total < burnin_period:
+            raise ValueError("Total steps < burnin")
+
+        self.proposal_distribution_params = (
+            self._initialize_proposal_distribution_params(
+                self.options.proposal_distribution_param_init
+            )
+        )
+        self.x = np.empty((self.n_chains, 1 + n_steps_total, self.dim))
+        self.accept = np.zeros((self.n_chains, 1 + n_steps_total))
+        self.log_target_values = np.full((self.n_chains, 1 + n_steps_total),
+                                         np.nan)
+        self.burnin_period = burnin_period
+        self.global_iter = 0
+        self.global_total = 1 + n_steps_total
+        self.start_time = time.time()
+        self.x[:, 0, :] = chains_state_initial
+        self.accept[:, 0] = 1.0
+
+        if self.options.init_msg is not None:
+            print(self.options.init_msg)
+            print(f"  Dimension: {self.dim}")
+            print(f"  Total steps: {n_steps_total}")
+            print(f"  Burn-in: {burnin_period}")
+            print(f"  Chains: {self.n_chains}")
+
+        self.set_mode("burnin")
+        self.run_burnin(burnin_period)
+
+        n_remain = n_steps_total - self.burnin_period
+        if self.options.freeze_adaptation:
+            self.set_mode("sampling_freeze_adaptation")
+            self.run_samples(
+                n_remain, show_global_progress=self.options.show_global_progress
+            )
+        else:
+            self.set_mode("sampling_adaptation")
+            self.run_adaptive(n_remain)
+
+        self.global_total = self.global_iter
+        if self.options.show_global_progress:
+            self._print_final_time(self.global_total, self.start_time)
+
+        self.rates = self.compute_sliding_rates(self.options.sliding_rate_width)
+
+        out = (
+            self.x[:, self.burnin_period : self.global_total + 1]
+            if self.options.discard_burnin
+            else self.x[:, : self.global_total + 1]
+        )
+        return gnp.asarray(out)
+
+    # ------------------------------------------------------------------
+    # diagnostics
+    # ------------------------------------------------------------------
+    def compute_sliding_rates(self, n_block_size):
+        """Sliding-window acceptance rates, shape (n_chains, global_iter)."""
+        if self.accept is None:
+            raise ValueError(
+                "No acceptance data available to compute sliding rates."
+            )
+        n_max = self.global_iter
+        if n_max <= 0:
+            return np.empty((self.n_chains, 0))
+        window = min(max(1, int(n_block_size)), n_max)
+        acc = self.accept[:, :n_max]
+        cumsum = np.cumsum(acc, axis=1)
+        rates = np.empty((self.n_chains, n_max))
+        rates[:, :window] = cumsum[:, :window] / (np.arange(window) + 1)
+        if n_max > window:
+            rates[:, window:] = (cumsum[:, window:] - cumsum[:, :-window]) / window
+        return rates
+
+    def check_acceptance_rates(self, burnin_period=None, last_n_samples=None,
+                               low_threshold=0.15, high_threshold=0.40,
+                               rates=None, verbose=True):
+        if burnin_period is None:
+            burnin_period = self.burnin_period
+        if rates is None:
+            if self.rates is None:
+                if verbose:
+                    print("No sliding acceptance rates available.")
+                return {}
+            rates_data = self.rates
+        else:
+            rates_data = rates
+
+        i0 = (
+            burnin_period
+            if last_n_samples is None
+            else max(0, self.global_iter - last_n_samples)
+        )
+        i1 = self.global_iter
+        if i1 - i0 <= 1:
+            raise ValueError("Not enough samples to compute acceptance rates.")
+
+        data = rates_data[:, i0:i1]
+        min_ar = float(data.min())
+        max_ar = float(data.max())
+        ok = (min_ar >= low_threshold) and (max_ar <= high_threshold)
+        if verbose:
+            print("[check_acceptance_rates]")
+            if not ok:
+                if min_ar < low_threshold:
+                    print(f"WARNING: Min acceptance rate ({min_ar:.3f}) is "
+                          f"below the threshold of {low_threshold:.2f}.")
+                if max_ar > high_threshold:
+                    print(f"WARNING: Max acceptance rate ({max_ar:.3f}) is "
+                          f"above the threshold of {high_threshold:.2f}.")
+            else:
+                print("PASS: Acceptance rates within tolerance bounds")
+            print(f"  Min = {min_ar:.3f},  Max = {max_ar:.3f}")
+        return {"min_ar": min_ar, "max_ar": max_ar, "ok": ok}
+
+    def compute_gelman_rubin_rhat(self, burnin_period=None, last_n_samples=None):
+        """Split-free Gelman-Rubin R-hat per parameter."""
+        if burnin_period is None:
+            burnin_period = self.burnin_period
+        if self.x is None:
+            raise ValueError("No chain data available.")
+        if self.n_chains < 2:
+            raise ValueError("At least 2 chains are required.")
+        i0 = (
+            burnin_period
+            if last_n_samples is None
+            else max(0, self.global_iter - last_n_samples)
+        )
+        i1 = self.global_iter
+        n_block = i1 - i0
+        if n_block <= 1:
+            raise ValueError(
+                "Not enough samples to compute Gelman-Rubin diagnostic."
+            )
+        block = self.x[:, i0:i1, :]
+        chain_means = block.mean(axis=1)
+        chain_vars = block.var(axis=1, ddof=1)
+        W = chain_vars.mean(axis=0)
+        B = n_block * chain_means.var(axis=0, ddof=1)
+        var_post = ((n_block - 1) / n_block) * W + B / n_block
+        return np.sqrt(var_post / W)
+
+    def check_convergence_gelman_rubin(self, burnin_period=0, last_n_samples=None,
+                                       threshold=1.1, verbose=True):
+        rhat = self.compute_gelman_rubin_rhat(
+            burnin_period=burnin_period, last_n_samples=last_n_samples
+        )
+        ok = bool(np.all(rhat < threshold))
+        if verbose:
+            if ok:
+                print(f"[check_gelman_rubin_rhat]\nPASS: All R-hat < {threshold}.")
+            else:
+                print(f"[check_gelman_rubin_rhat]\nWARNING: Some R-hat >= "
+                      f"{threshold}.")
+            print(f"  R-hat values: {rhat}")
+        return {"rhat": rhat, "ok": ok}
+
+    def ks_statistics(self, n_blocks, n_block_size, alpha=0.01,
+                      return_significance=True, return_statistic=False):
+        """Pairwise two-sample KS tests between trailing blocks of each
+        chain (per dimension); high significant fraction flags
+        non-convergence."""
+        from scipy.stats import ks_2samp
+
+        if self.x is None:
+            raise ValueError("No chain data available. Run sampler first.")
+        n_chains, n_steps, dim = self.x.shape
+        needed = n_blocks * n_block_size
+        if needed > n_steps:
+            raise ValueError(
+                f"Requested {n_blocks} blocks of size {n_block_size} "
+                f"({needed} total) but chain only has {n_steps} samples."
+            )
+        blocks = []
+        start_index = n_steps - needed
+        for chain_idx in range(n_chains):
+            for b in range(n_blocks):
+                s = start_index + b * n_block_size
+                blocks.append(self.x[chain_idx, s : s + n_block_size, :])
+        B = len(blocks)
+        pvalue_matrix = np.zeros((dim, B, B))
+        ks_matrix = np.zeros((dim, B, B)) if return_statistic else None
+        for d in range(dim):
+            for i in range(B):
+                for j in range(i + 1, B):
+                    result = ks_2samp(blocks[i][:, d], blocks[j][:, d],
+                                      alternative="two-sided")
+                    if return_statistic:
+                        ks_matrix[d, i, j] = ks_matrix[d, j, i] = result.statistic
+                    pvalue_matrix[d, i, j] = pvalue_matrix[d, j, i] = result.pvalue
+        if return_significance:
+            significance = pvalue_matrix < alpha
+            if return_statistic:
+                return ks_matrix, pvalue_matrix, significance
+            return pvalue_matrix, significance
+        if return_statistic:
+            return ks_matrix, pvalue_matrix
+        return pvalue_matrix
+
+    def check_convergence_ks(self, multi_block_n_blocks=5, multi_block_size=100,
+                             single_block_size=None, alpha=0.01,
+                             fraction_threshold=0.5, verbose=True):
+        if self.x is None:
+            raise ValueError("No chain data. Please run or load the sampler first.")
+        n_chains, n_steps, dim = self.x.shape
+        needed_multi = multi_block_n_blocks * multi_block_size
+        if n_steps < needed_multi:
+            raise ValueError(
+                f"Need at least {needed_multi} samples for multi-block check."
+            )
+        _ksA, _pA, sigA = self.ks_statistics(
+            n_blocks=multi_block_n_blocks, n_block_size=multi_block_size,
+            alpha=alpha, return_significance=True, return_statistic=True,
+        )
+        frac_sig_multi = float(sigA.sum() / sigA.size)
+
+        if single_block_size is None:
+            single_block_size = needed_multi
+        if n_steps < single_block_size:
+            raise ValueError(
+                f"Need at least {single_block_size} samples for "
+                f"single-block check."
+            )
+        _ksB, _pB, sigB = self.ks_statistics(
+            n_blocks=1, n_block_size=single_block_size, alpha=alpha,
+            return_significance=True, return_statistic=True,
+        )
+        frac_sig_single = float(sigB.sum() / sigB.size)
+
+        ok = (frac_sig_multi < fraction_threshold) and (
+            frac_sig_single < fraction_threshold
+        )
+        results = {
+            "multi_block": {
+                "n_blocks": multi_block_n_blocks,
+                "block_size": multi_block_size,
+                "frac_significant": frac_sig_multi,
+            },
+            "single_block": {
+                "n_blocks": 1,
+                "block_size": single_block_size,
+                "frac_significant": frac_sig_single,
+            },
+            "ok": ok,
+        }
+        if verbose:
+            print("[check_convergence_ks]")
+            print("PASS: Both KS checks below threshold." if ok
+                  else "WARNING: At least one KS check exceeded threshold.")
+            print(f"  Multi-block: frac_significant = {frac_sig_multi:.2%} "
+                  f"(blocks = {multi_block_n_blocks} x {multi_block_size})")
+            print(f"  Single-block: frac_significant = {frac_sig_single:.2%} "
+                  f"(1 x {single_block_size})")
+            print(f"  Threshold = {fraction_threshold:.2%}, alpha = {alpha}")
+        return results
+
+    # ------------------------------------------------------------------
+    # progress + plots
+    # ------------------------------------------------------------------
+    def _print_progress(self, iteration, total_steps, start_time):
+        elapsed = time.time() - start_time
+        avg = elapsed / (iteration + 1)
+        remaining = avg * (total_steps - (iteration + 1))
+        pct = (iteration + 1) / total_steps * 100
+        print(f"  Progress: {pct:5.2f}% | Time left: {remaining:5.1f}s      ",
+              end="\r")
+
+    def _print_final_time(self, total_steps, start_time):
+        elapsed = time.time() - start_time
+        print(f"  Progress: 100.00% complete | Total time: {elapsed:.3f}s")
+        print(f"  Total proposals: {total_steps * self.n_chains}")
+
+    def _get_pooled_samples(self, burnin=0, n_pool=1):
+        if self.x is None:
+            raise ValueError("No chain data yet.")
+        if self.n_chains % n_pool != 0:
+            raise ValueError("n_pool must divide n_chains")
+        return [
+            self.x[i : i + n_pool, burnin:].reshape(-1, self.dim)
+            for i in range(0, self.n_chains, n_pool)
+        ]
+
+    def plot_chains(self, burnin=None, parameter_indices=None, show_rate=True):
+        """Trace plots per dimension, optional acceptance-rate subplot."""
+        import matplotlib.pyplot as plt
+
+        if burnin is None:
+            burnin = self.burnin_period
+        if self.x is None:
+            raise ValueError("No chain data.")
+        pidx = parameter_indices or list(range(self.dim))
+        n_plots = len(pidx)
+        total_plots = n_plots + 1 if show_rate else n_plots
+        height = min(9, 2.5 * total_plots)
+        fig, axes = plt.subplots(total_plots, 1, figsize=(10, height),
+                                 sharex=True)
+        if total_plots == 1:
+            axes = [axes]
+        for k, p in enumerate(pidx):
+            for c in range(self.n_chains):
+                axes[k].plot(self.x[c, : self.global_iter, p], lw=0.5)
+            axes[k].axvline(burnin, color="r", linestyle="--")
+            axes[k].set_ylabel(f"param {p}")
+        if show_rate and self.rates is not None:
+            for c in range(self.n_chains):
+                axes[-1].plot(self.rates[c], lw=0.5)
+            axes[-1].set_ylabel("acc. rate")
+            axes[-1].axhline(self.target_acceptance, color="k", linestyle=":")
+        axes[-1].set_xlabel("iteration")
+        plt.tight_layout()
+        plt.show()
+        return fig
+
+    def plot_empirical_distributions(self, burnin=None, parameter_indices=None,
+                                     bins=40):
+        """Per-dimension marginal histograms pooled over chains."""
+        import matplotlib.pyplot as plt
+
+        if burnin is None:
+            burnin = self.burnin_period
+        pidx = parameter_indices or list(range(self.dim))
+        fig, axes = plt.subplots(len(pidx), 1,
+                                 figsize=(8, min(9, 2.5 * len(pidx))))
+        if len(pidx) == 1:
+            axes = [axes]
+        for k, p in enumerate(pidx):
+            data = self.x[:, burnin : self.global_iter, p].reshape(-1)
+            axes[k].hist(data, bins=bins, density=True, alpha=0.7)
+            axes[k].set_ylabel(f"param {p}")
+        plt.tight_layout()
+        plt.show()
+        return fig

@@ -1,0 +1,804 @@
+# gpmp_tpu/mcmc/nuts.py
+"""No-U-Turn Sampler (Euclidean metric, diagonal mass), TPU-native.
+
+Reference semantics: /root/reference/gpmp/mcmc/nuts.py:182-1131 --
+leapfrog integrator, slice variable log_u = -H0 + log(rand), doubling
+tree with multinomial-style proposal selection, divergence flag
+DeltaH > delta_max, velocity-based U-turn test, dual-averaging step-size
+adaptation with Stan-like windowed diagonal mass adaptation (Welford)
+and dual-averaging restarts at window ends.
+
+TPU design: the reference builds the tree by Python recursion and loops
+chains serially (nuts.py:500-648, 948-1111).  Here one NUTS transition
+is a jitted ``lax.while_loop`` over doublings whose subtrees are built
+iteratively with a checkpoint stack of even-leaf states (the
+Phan-Pradhan iterative formulation): U-turn checks probe exactly the
+subtree boundaries the recursion would check, and the proposal is drawn
+by progressive per-leaf replacement, which is distributionally
+equivalent to the recursion's pairwise n2/(n1+n2) combination (both
+yield a uniform draw among valid states).  Chains advance together via
+vmap; warmup adaptation (dual averaging, mass windows) stays host-side
+between device calls, as in the reference.
+"""
+
+import math
+import time
+from dataclasses import dataclass, replace
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import gpmp_tpu.num as gnp
+
+_dtype = gnp.get_dtype()
+
+_DEFAULT_NUM_WARMUP = 1000
+_DEFAULT_TARGET_ACCEPT = 0.80
+_DEFAULT_MAX_DEPTH = 10
+_DEFAULT_DELTA_MAX = 1000.0
+_DEFAULT_JITTER = 1e-4
+_DEFAULT_PROGRESS = True
+_DEFAULT_VERBOSE = 1
+_DEFAULT_LOG_EVERY = 50
+
+
+@dataclass
+class NUTSOptions:
+    """Configuration for NUTS sampling and warmup adaptation."""
+
+    num_warmup: int = _DEFAULT_NUM_WARMUP
+    target_accept: float = _DEFAULT_TARGET_ACCEPT
+    max_depth: int = _DEFAULT_MAX_DEPTH
+    delta_max: float = _DEFAULT_DELTA_MAX
+    jitter: float = _DEFAULT_JITTER
+    init_step_size: Optional[float] = None
+    init_mass_diag: Optional[np.ndarray] = None
+    seed: Optional[int] = None
+    progress: bool = _DEFAULT_PROGRESS
+    verbose: int = _DEFAULT_VERBOSE
+    log_every: int = _DEFAULT_LOG_EVERY
+
+    # dual averaging
+    dual_averaging_gamma: float = 0.05
+    dual_averaging_t0: float = 10.0
+    dual_averaging_kappa: float = 0.75
+    dual_averaging_mu_factor: float = 10.0
+
+    # warmup window policy
+    warmup_min_no_window: int = 20
+    warmup_large_threshold: int = 150
+    warmup_large_init_buffer: int = 75
+    warmup_large_term_buffer: int = 50
+    warmup_large_base_window: int = 25
+    warmup_init_buffer_ratio: float = 0.15
+    warmup_term_buffer_ratio: float = 0.10
+    warmup_base_window_divisor: float = 3.0
+
+    # initial step-size search
+    find_eps_init: float = 1.0
+    find_eps_target_accept: float = 0.5
+    find_eps_scale_base: float = 2.0
+    find_eps_min: float = 1e-6
+    find_eps_max: float = 1e2
+
+
+def _resolve_nuts_options(options, *, num_warmup, target_accept, max_depth,
+                          delta_max, jitter, init_step_size, init_mass_diag,
+                          seed, progress, verbose, log_every):
+    """Merge rule: explicit non-default kwargs override the options object."""
+    opts = replace(options) if options is not None else NUTSOptions()
+    if options is None or num_warmup != _DEFAULT_NUM_WARMUP:
+        opts.num_warmup = num_warmup
+    if options is None or target_accept != _DEFAULT_TARGET_ACCEPT:
+        opts.target_accept = target_accept
+    if options is None or max_depth != _DEFAULT_MAX_DEPTH:
+        opts.max_depth = max_depth
+    if options is None or delta_max != _DEFAULT_DELTA_MAX:
+        opts.delta_max = delta_max
+    if options is None or jitter != _DEFAULT_JITTER:
+        opts.jitter = jitter
+    if options is None or init_step_size is not None:
+        opts.init_step_size = init_step_size
+    if options is None or init_mass_diag is not None:
+        opts.init_mass_diag = init_mass_diag
+    if options is None or seed is not None:
+        opts.seed = seed
+    if options is None or progress != _DEFAULT_PROGRESS:
+        opts.progress = progress
+    if options is None or verbose != _DEFAULT_VERBOSE:
+        opts.verbose = verbose
+    if options is None or log_every != _DEFAULT_LOG_EVERY:
+        opts.log_every = log_every
+    return opts
+
+
+class SimpleLogger:
+    def __init__(self, verbose=1):
+        self.verbose = int(verbose)
+
+    def log(self, msg, level=1):
+        if self.verbose >= level:
+            print(msg, flush=True)
+
+
+# ---------------------------
+# Adaptation utilities (host-side)
+# ---------------------------
+@dataclass
+class DualAveragingState:
+    mu: float
+    log_eps: float
+    log_eps_bar: float
+    h_bar: float
+    t: int
+
+    def update(self, accept_stat, target=0.80, gamma=0.05, t0=10.0, kappa=0.75):
+        self.t += 1
+        eta = 1.0 / (self.t + t0)
+        self.h_bar = (1.0 - eta) * self.h_bar + eta * (target - accept_stat)
+        self.log_eps = self.mu - (math.sqrt(self.t) / gamma) * self.h_bar
+        w = self.t ** (-kappa)
+        self.log_eps_bar = w * self.log_eps + (1.0 - w) * self.log_eps_bar
+        return math.exp(self.log_eps)
+
+    def final(self):
+        return math.exp(self.log_eps_bar)
+
+
+class RunningDiagVar:
+    """Welford online variance (vectorized over a batch of chains)."""
+
+    def __init__(self, dim):
+        self.n = 0
+        self.mean = np.zeros(dim)
+        self.m2 = np.zeros(dim)
+
+    def update_one(self, x):
+        self.n += 1
+        delta = x - self.mean
+        self.mean = self.mean + delta / self.n
+        self.m2 = self.m2 + delta * (x - self.mean)
+
+    def update_batch(self, x):
+        for i in range(x.shape[0]):
+            self.update_one(np.asarray(x[i]))
+
+    def var(self):
+        if self.n < 2:
+            return np.ones_like(self.mean)
+        return self.m2 / (self.n - 1)
+
+
+def make_warmup_windows(num_warmup, *, min_no_window=20, large_threshold=150,
+                        large_init_buffer=75, large_term_buffer=50,
+                        large_base_window=25, init_buffer_ratio=0.15,
+                        term_buffer_ratio=0.10, base_window_divisor=3.0):
+    """Stan-like expanding windows for diagonal mass adaptation."""
+    if num_warmup <= min_no_window:
+        return []
+    if num_warmup >= large_threshold:
+        init_buffer = large_init_buffer
+        term_buffer = large_term_buffer
+        base_window = large_base_window
+    else:
+        init_buffer = max(1, int(init_buffer_ratio * num_warmup))
+        term_buffer = max(1, int(term_buffer_ratio * num_warmup))
+        base_window = max(
+            1, int((num_warmup - init_buffer - term_buffer) / base_window_divisor)
+        )
+    start = init_buffer
+    end_middle = num_warmup - term_buffer
+    if end_middle <= start:
+        return []
+    win = min(base_window, end_middle - start)
+    windows = []
+    while start + win < end_middle:
+        windows.append((start, start + win))
+        start += win
+        win = min(2 * win, end_middle - start)
+        if win <= 0:
+            break
+    if start < end_middle:
+        windows.append((start, end_middle))
+    return windows
+
+
+def describe_windows(windows):
+    if not windows:
+        return "no mass adaptation windows"
+    return "mass windows: " + " ".join(f"[{a},{b})" for a, b in windows)
+
+
+# ---------------------------
+# Hamiltonian pieces
+# ---------------------------
+def potential_and_grad(log_prob, q, *, use_helper=True):
+    """(U(q), gradU(q)) with U = -log_prob, via autodiff."""
+    U, g = jax.value_and_grad(lambda qq: -jnp.asarray(log_prob(qq)).reshape(()))(
+        gnp.asarray(q)
+    )
+    return U, g
+
+
+def kinetic(p, inv_mass_diag):
+    return 0.5 * jnp.sum(p * p * inv_mass_diag)
+
+
+def leapfrog(log_prob, q, p, gradU, eps, inv_mass_diag):
+    """One leapfrog step with step size eps."""
+    p_half = p - 0.5 * eps * gradU
+    q_new = q + eps * (p_half * inv_mass_diag)
+    U_new, g_new = potential_and_grad(log_prob, q_new)
+    p_new = p_half - 0.5 * eps * g_new
+    return q_new, p_new, U_new, g_new
+
+
+def is_uturn(q_minus, q_plus, p_minus, p_plus, inv_mass_diag):
+    """Velocity-based U-turn test (correct for diagonal M != I)."""
+    dq = q_plus - q_minus
+    v_minus = inv_mass_diag * p_minus
+    v_plus = inv_mass_diag * p_plus
+    return (jnp.sum(dq * v_minus) < 0.0) | (jnp.sum(dq * v_plus) < 0.0)
+
+
+def find_reasonable_step_size(log_prob, q, inv_mass_diag, init_eps=1.0,
+                              target_accept=0.5, scale_base=2.0, min_eps=1e-6,
+                              max_eps=1e2, key=None):
+    """Doubling/halving search for an initial step size."""
+    eps = float(init_eps)
+    if key is None:
+        key = gnp.next_key()
+    mass_diag = 1.0 / inv_mass_diag
+    p0 = jax.random.normal(key, q.shape, dtype=q.dtype) * jnp.sqrt(mass_diag)
+
+    U0, g0 = potential_and_grad(log_prob, q)
+    H0 = U0 + kinetic(p0, inv_mass_diag)
+
+    def alpha_at(eps_):
+        q1, p1, U1, _ = leapfrog(log_prob, q, p0, g0, eps_, inv_mass_diag)
+        H1 = U1 + kinetic(p1, inv_mass_diag)
+        la = float(-(H1 - H0))
+        return math.exp(min(la, 0.0)) if math.isfinite(la) else 0.0
+
+    alpha = alpha_at(eps)
+    direction = 1.0 if alpha > target_accept else -1.0
+    while True:
+        eps *= scale_base**direction
+        alpha2 = alpha_at(eps)
+        if (alpha2 > target_accept and direction < 0) or (
+            alpha2 < target_accept and direction > 0
+        ):
+            break
+        if eps < min_eps or eps > max_eps:
+            break
+    return float(eps)
+
+
+# ---------------------------
+# Iterative tree building (jit)
+# ---------------------------
+def _ctz(x):
+    """Count trailing zeros of a positive int32 (jit-safe)."""
+    return lax.population_count((x & -x) - 1)
+
+
+def _make_transition(log_prob, max_depth):
+    """Build the jitted NUTS transition for a fixed static max_depth.
+
+    transition(key, q0, step_size, inv_mass_diag, delta_max) ->
+      (q_new, accept_stat, n_leapfrog, depth, divergent)
+    """
+    pg = lambda q: potential_and_grad(log_prob, q)
+
+    def transition(key, q0, step_size, inv_mass_diag, delta_max):
+        dim = q0.shape[0]
+        k_mom, k_slice, k_loop = jax.random.split(key, 3)
+        mass_diag = 1.0 / inv_mass_diag
+        p0 = jax.random.normal(k_mom, (dim,), dtype=q0.dtype) * jnp.sqrt(mass_diag)
+        U0, g0 = pg(q0)
+        H0 = U0 + kinetic(p0, inv_mass_diag)
+        bad_H0 = jnp.isnan(H0) | jnp.isinf(H0)
+        log_u = -H0 + jnp.log(
+            jnp.maximum(jax.random.uniform(k_slice, dtype=q0.dtype), 1e-300)
+        )
+
+        def leaf_step(carry, v):
+            """One leapfrog in direction v from the carried edge state."""
+            q, p, g = carry
+            q1, p1, U1, g1 = leapfrog(log_prob, q, p, g, step_size * v,
+                                      inv_mass_diag)
+            H1 = U1 + kinetic(p1, inv_mass_diag)
+            return (q1, p1, g1), H1
+
+        def build_subtree(key, edge, v, depth):
+            """Iteratively add 2^depth leaves from `edge` in direction v.
+
+            Returns (edge_end, q_prop_sub, n_valid_sub, alpha_sum, n_alpha,
+            n_leapfrog, completed, divergent).  U-turn sub-checks use a
+            checkpoint stack of even-leaf states.
+            """
+            num_leaves = jnp.asarray(1, jnp.int32) << depth
+            q_e, p_e, g_e = edge
+            stack_q = jnp.zeros((max_depth + 1, dim), dtype=q_e.dtype)
+            stack_p = jnp.zeros((max_depth + 1, dim), dtype=q_e.dtype)
+
+            init = dict(
+                key=key,
+                i=jnp.asarray(0, jnp.int32),
+                q=q_e, p=p_e, g=g_e,
+                q_prop=q_e,
+                n_valid=jnp.asarray(0, jnp.int32),
+                alpha_sum=jnp.asarray(0.0, q_e.dtype),
+                n_alpha=jnp.asarray(0, jnp.int32),
+                stop=jnp.asarray(False),
+                turning=jnp.asarray(False),
+                divergent=jnp.asarray(False),
+                stack_q=stack_q, stack_p=stack_p,
+            )
+
+            def cond(st):
+                return (st["i"] < num_leaves) & (~st["stop"])
+
+            def body(st):
+                key, k_adopt = jax.random.split(st["key"])
+                (q1, p1, g1), H1 = leaf_step((st["q"], st["p"], st["g"]), v)
+                bad = jnp.isnan(H1) | jnp.isinf(H1)
+                valid = (~bad) & (log_u <= -H1)
+                divergent_leaf = bad | ((H1 - H0) > delta_max)
+                stop_leaf = divergent_leaf | (log_u >= (delta_max - H1))
+                alpha = jnp.where(
+                    bad, 0.0, jnp.exp(jnp.minimum(-(H1 - H0), 0.0))
+                )
+
+                n_new = st["n_valid"] + valid.astype(jnp.int32)
+                adopt_p = jnp.where(
+                    valid,
+                    1.0 / jnp.maximum(n_new, 1).astype(q1.dtype),
+                    0.0,
+                )
+                adopt = jax.random.uniform(k_adopt, dtype=q1.dtype) < adopt_p
+                q_prop = jnp.where(adopt, q1, st["q_prop"])
+
+                i = st["i"]
+                even = (i % 2) == 0
+                slot = lax.population_count(i)
+                stack_q = jnp.where(
+                    even, st["stack_q"].at[slot].set(q1), st["stack_q"]
+                )
+                stack_p = jnp.where(
+                    even, st["stack_p"].at[slot].set(p1), st["stack_p"]
+                )
+
+                # U-turn checks for every complete subtree ending at odd i
+                t_ones = _ctz(i + 1)  # number of trailing ones of i
+
+                def check_j(j, turning):
+                    active = (~even) & (j <= t_ones)
+                    a = i + 1 - (jnp.asarray(1, jnp.int32) << j)
+                    sl = lax.population_count(a)
+                    # generation-order endpoints: stored = first state of the
+                    # completed subtree, q1 = last.  In the recursion, for
+                    # v=+1 (q_minus, q_plus) = (first, last); for v=-1 they
+                    # swap, which flips dq -- fold the direction into dq:
+                    dqg = v * (q1 - stack_q[sl])
+                    ut = (
+                        jnp.sum(dqg * (inv_mass_diag * stack_p[sl])) < 0.0
+                    ) | (jnp.sum(dqg * (inv_mass_diag * p1)) < 0.0)
+                    return turning | (active & ut)
+
+                turning = lax.fori_loop(1, max_depth + 1, check_j,
+                                        st["turning"])
+
+                stop = stop_leaf | turning
+                return dict(
+                    key=key,
+                    i=i + 1,
+                    q=q1, p=p1, g=g1,
+                    q_prop=q_prop,
+                    n_valid=n_new,
+                    alpha_sum=st["alpha_sum"] + alpha,
+                    n_alpha=st["n_alpha"] + 1,
+                    stop=stop,
+                    turning=turning,
+                    divergent=st["divergent"] | divergent_leaf,
+                    stack_q=stack_q, stack_p=stack_p,
+                )
+
+            st = lax.while_loop(cond, body, init)
+            completed = (st["i"] == num_leaves) & (~st["turning"]) & (
+                ~st["divergent"]
+            )
+            return (
+                (st["q"], st["p"], st["g"]),
+                st["q_prop"],
+                st["n_valid"],
+                st["alpha_sum"],
+                st["n_alpha"],
+                st["i"],
+                completed,
+                st["divergent"],
+            )
+
+        outer_init = dict(
+            key=k_loop,
+            depth=jnp.asarray(0, jnp.int32),
+            q_minus=q0, p_minus=p0, g_minus=g0,
+            q_plus=q0, p_plus=p0, g_plus=g0,
+            q_prop=q0,
+            n_valid=jnp.asarray(1, jnp.int32),
+            s_cont=~bad_H0,
+            alpha_sum=jnp.asarray(0.0, q0.dtype),
+            n_alpha=jnp.asarray(0, jnp.int32),
+            n_leapfrog=jnp.asarray(0, jnp.int32),
+            divergent=bad_H0,
+        )
+
+        def outer_cond(st):
+            return st["s_cont"] & (st["depth"] < max_depth)
+
+        def outer_body(st):
+            key, k_dir, k_sub, k_adopt = jax.random.split(st["key"], 4)
+            go_left = jax.random.uniform(k_dir, dtype=q0.dtype) < 0.5
+            v = jnp.where(go_left, -1.0, 1.0).astype(q0.dtype)
+
+            edge = (
+                jnp.where(go_left, st["q_minus"], st["q_plus"]),
+                jnp.where(go_left, st["p_minus"], st["p_plus"]),
+                jnp.where(go_left, st["g_minus"], st["g_plus"]),
+            )
+            (edge_end, q_prop2, n_valid2, alpha2, n_alpha2, nlf2, completed,
+             div2) = build_subtree(k_sub, edge, v, st["depth"])
+
+            q_minus = jnp.where(go_left, edge_end[0], st["q_minus"])
+            p_minus = jnp.where(go_left, edge_end[1], st["p_minus"])
+            g_minus = jnp.where(go_left, edge_end[2], st["g_minus"])
+            q_plus = jnp.where(go_left, st["q_plus"], edge_end[0])
+            p_plus = jnp.where(go_left, st["p_plus"], edge_end[1])
+            g_plus = jnp.where(go_left, st["g_plus"], edge_end[2])
+
+            total = st["n_valid"] + n_valid2
+            adopt_p = jnp.where(
+                completed & (total > 0),
+                n_valid2.astype(q0.dtype) / jnp.maximum(total, 1).astype(q0.dtype),
+                0.0,
+            )
+            adopt = jax.random.uniform(k_adopt, dtype=q0.dtype) < adopt_p
+            q_prop = jnp.where(adopt, q_prop2, st["q_prop"])
+
+            s_cont = completed & (
+                ~is_uturn(q_minus, q_plus, p_minus, p_plus, inv_mass_diag)
+            )
+            return dict(
+                key=key,
+                depth=st["depth"] + 1,
+                q_minus=q_minus, p_minus=p_minus, g_minus=g_minus,
+                q_plus=q_plus, p_plus=p_plus, g_plus=g_plus,
+                q_prop=q_prop,
+                n_valid=total,
+                s_cont=s_cont,
+                alpha_sum=st["alpha_sum"] + alpha2,
+                n_alpha=st["n_alpha"] + n_alpha2,
+                n_leapfrog=st["n_leapfrog"] + nlf2,
+                divergent=st["divergent"] | div2,
+            )
+
+        st = lax.while_loop(outer_cond, outer_body, outer_init)
+        accept_stat = st["alpha_sum"] / jnp.maximum(st["n_alpha"], 1).astype(
+            q0.dtype
+        )
+        return (st["q_prop"], accept_stat, st["n_leapfrog"], st["depth"],
+                st["divergent"])
+
+    return transition
+
+
+def nuts_transition(log_prob, q0, step_size, inv_mass_diag, max_depth,
+                    delta_max, key=None):
+    """Single-chain NUTS transition (eager convenience wrapper)."""
+    if key is None:
+        key = gnp.next_key()
+    trans = _make_transition(log_prob, int(max_depth))
+    q_new, a, nlf, depth, div = trans(
+        key, gnp.asarray(q0), jnp.asarray(step_size),
+        gnp.asarray(inv_mass_diag), jnp.asarray(delta_max),
+    )
+    return q_new, float(a), int(nlf), int(depth), bool(div)
+
+
+# ---------------------------
+# Sampling driver
+# ---------------------------
+def nuts_sample(log_prob, q_init, num_samples,
+                num_warmup=_DEFAULT_NUM_WARMUP,
+                target_accept=_DEFAULT_TARGET_ACCEPT,
+                max_depth=_DEFAULT_MAX_DEPTH,
+                delta_max=_DEFAULT_DELTA_MAX,
+                jitter=_DEFAULT_JITTER,
+                init_step_size=None, init_mass_diag=None, seed=None,
+                progress=_DEFAULT_PROGRESS, verbose=_DEFAULT_VERBOSE,
+                log_every=_DEFAULT_LOG_EVERY,
+                options: Optional[NUTSOptions] = None):
+    """NUTS with warmup; q_init (chains, dim); returns
+    (samples (num_samples, chains, dim), info dict of traces)."""
+    q_init = gnp.asarray(q_init)
+    if q_init.ndim != 2:
+        raise ValueError("q_init must have shape (chains, dim)")
+
+    opts = _resolve_nuts_options(
+        options, num_warmup=num_warmup, target_accept=target_accept,
+        max_depth=max_depth, delta_max=delta_max, jitter=jitter,
+        init_step_size=init_step_size, init_mass_diag=init_mass_diag,
+        seed=seed, progress=progress, verbose=verbose, log_every=log_every,
+    )
+    num_warmup = int(opts.num_warmup)
+    target_accept = float(opts.target_accept)
+    max_depth = int(opts.max_depth)
+    delta_max = float(opts.delta_max)
+    jitter = float(opts.jitter)
+    logger = SimpleLogger(verbose=int(opts.verbose))
+    log_every = int(opts.log_every)
+
+    chains, dim = q_init.shape
+    eps_min = float(opts.find_eps_min)
+    eps_max = float(opts.find_eps_max)
+    if not math.isfinite(eps_min) or eps_min <= 0.0:
+        eps_min = 1e-12
+    if not math.isfinite(eps_max) or eps_max <= eps_min:
+        eps_max = max(1.0, 10.0 * eps_min)
+
+    def _clamp(eps):
+        eps = float(eps)
+        if not math.isfinite(eps) or eps <= 0.0:
+            return eps_min
+        return min(max(eps, eps_min), eps_max)
+
+    logger.log(f"chains={chains}, dim={dim}")
+    logger.log(f"num_warmup={num_warmup}, num_samples={num_samples}")
+    logger.log(
+        f"target_accept={target_accept}, max_depth={max_depth}, "
+        f"delta_max={delta_max}"
+    )
+
+    master_key = jax.random.PRNGKey(
+        opts.seed if opts.seed is not None
+        else int(np.random.default_rng().integers(2**31))
+    )
+    if opts.seed is not None:
+        logger.log(f"seed={opts.seed}")
+
+    if opts.init_mass_diag is None:
+        mass_diag = np.ones(dim)
+        logger.log("mass_diag init: identity (ones)")
+    else:
+        imd = np.asarray(opts.init_mass_diag)
+        if imd.shape != (dim,):
+            raise ValueError("init_mass_diag must have shape (dim,)")
+        mass_diag = np.clip(imd, jitter, None)
+        logger.log("mass_diag init: provided (clamped)")
+    inv_mass_diag = 1.0 / mass_diag
+
+    # jitted transition, vmapped over chains
+    transition = _make_transition(log_prob, max_depth)
+    vtrans = jax.jit(
+        jax.vmap(transition, in_axes=(0, 0, None, None, None))
+    )
+    vlogprob = jax.jit(
+        jax.vmap(lambda q: jnp.asarray(log_prob(q)).reshape(()))
+    )
+
+    if opts.init_step_size is None:
+        t0 = time.time()
+        master_key, sub = jax.random.split(master_key)
+        eps0 = find_reasonable_step_size(
+            log_prob, q_init[0], jnp.asarray(inv_mass_diag),
+            init_eps=opts.find_eps_init,
+            target_accept=opts.find_eps_target_accept,
+            scale_base=opts.find_eps_scale_base,
+            min_eps=opts.find_eps_min, max_eps=opts.find_eps_max, key=sub,
+        )
+        logger.log(
+            f"initial step size heuristic: eps0={eps0:.6g} "
+            f"(took {time.time() - t0:.2f}s)"
+        )
+    else:
+        eps0 = float(opts.init_step_size)
+        logger.log(f"initial step size: provided eps0={eps0:.6g}")
+    eps0 = _clamp(eps0)
+    mu0 = max(eps_min, float(opts.dual_averaging_mu_factor) * eps0)
+
+    da = DualAveragingState(mu=math.log(mu0), log_eps=math.log(eps0),
+                            log_eps_bar=math.log(eps0), h_bar=0.0, t=0)
+    step_size = eps0
+
+    windows = make_warmup_windows(
+        num_warmup,
+        min_no_window=opts.warmup_min_no_window,
+        large_threshold=opts.warmup_large_threshold,
+        large_init_buffer=opts.warmup_large_init_buffer,
+        large_term_buffer=opts.warmup_large_term_buffer,
+        large_base_window=opts.warmup_large_base_window,
+        init_buffer_ratio=opts.warmup_init_buffer_ratio,
+        term_buffer_ratio=opts.warmup_term_buffer_ratio,
+        base_window_divisor=opts.warmup_base_window_divisor,
+    )
+    window_end_set = {end for _s, end in windows}
+    logger.log(describe_windows(windows))
+    rv = RunningDiagVar(dim)
+
+    q = jnp.asarray(q_init)
+
+    warmup_accept = np.empty((num_warmup, chains))
+    warmup_div = np.empty((num_warmup, chains), dtype=bool)
+    warmup_depth = np.empty((num_warmup, chains), dtype=int)
+    warmup_nlf = np.empty((num_warmup, chains), dtype=int)
+    warmup_log_target = np.empty((num_warmup, chains))
+    warmup_eps = np.empty(num_warmup)
+
+    logger.log("warmup: start")
+    t_warm0 = time.time()
+
+    for t in range(num_warmup):
+        master_key, sub = jax.random.split(master_key)
+        chain_keys = jax.random.split(sub, chains)
+        q, a, nlf, depth, div = vtrans(
+            chain_keys, q, jnp.asarray(step_size), jnp.asarray(inv_mass_diag),
+            jnp.asarray(delta_max),
+        )
+        warmup_accept[t] = np.asarray(a)
+        warmup_div[t] = np.asarray(div)
+        warmup_depth[t] = np.asarray(depth)
+        warmup_nlf[t] = np.asarray(nlf)
+        warmup_log_target[t] = np.asarray(vlogprob(q))
+        warmup_eps[t] = step_size
+
+        mean_accept = float(np.mean(warmup_accept[t]))
+        mean_div = float(np.mean(warmup_div[t]))
+
+        step_size = _clamp(
+            da.update(
+                mean_accept, target=target_accept,
+                gamma=opts.dual_averaging_gamma, t0=opts.dual_averaging_t0,
+                kappa=opts.dual_averaging_kappa,
+            )
+        )
+
+        in_mass_window = any(start <= t < end for start, end in windows)
+        if in_mass_window:
+            rv.update_batch(np.asarray(q))
+
+        if (t + 1) in window_end_set:
+            old_mean = float(np.mean(mass_diag))
+            mass_diag = np.clip(rv.var(), jitter, None)
+            inv_mass_diag = 1.0 / mass_diag
+            logger.log(
+                f"warmup iter {t + 1}: mass update at window end; "
+                f"mean(mass_diag) {old_mean:.6g} -> "
+                f"{float(np.mean(mass_diag)):.6g}"
+            )
+            rv = RunningDiagVar(dim)
+            mu_ref = max(eps_min, float(opts.dual_averaging_mu_factor) * step_size)
+            da = DualAveragingState(
+                mu=math.log(mu_ref), log_eps=math.log(step_size),
+                log_eps_bar=math.log(step_size), h_bar=0.0, t=0,
+            )
+            logger.log(
+                f"warmup iter {t + 1}: dual averaging restart; "
+                f"eps={step_size:.6g}"
+            )
+
+        do_log = ((t + 1) % max(1, log_every) == 0) or t == 0 or (
+            t + 1 == num_warmup
+        )
+        if int(opts.verbose) >= 2:
+            do_log = ((t + 1) % max(1, log_every // 5) == 0) or do_log
+        if do_log:
+            logger.log(
+                f"warmup iter {t + 1}/{num_warmup}: eps={step_size:.6g}, "
+                f"mean_accept={mean_accept:.3f}, div_rate={mean_div:.3f}"
+            )
+
+    warmup_time = time.time() - t_warm0
+    step_size_final = _clamp(da.final())
+    step_size = step_size_final
+    logger.log(f"warmup: done in {warmup_time:.2f}s")
+    logger.log(f"warmup: step_size_final={step_size_final:.6g}")
+    logger.log(f"warmup: mass_diag_final mean={float(np.mean(mass_diag)):.6g}")
+
+    samples = np.empty((num_samples, chains, dim))
+    accept = np.empty((num_samples, chains))
+    divergent = np.empty((num_samples, chains), dtype=bool)
+    tree_depth = np.empty((num_samples, chains), dtype=int)
+    n_leapfrog = np.empty((num_samples, chains), dtype=int)
+    log_target = np.empty((num_samples, chains))
+
+    logger.log("sample: start")
+    t_samp0 = time.time()
+    for t in range(num_samples):
+        master_key, sub = jax.random.split(master_key)
+        chain_keys = jax.random.split(sub, chains)
+        q, a, nlf, depth, div = vtrans(
+            chain_keys, q, jnp.asarray(step_size), jnp.asarray(inv_mass_diag),
+            jnp.asarray(delta_max),
+        )
+        samples[t] = np.asarray(q)
+        accept[t] = np.asarray(a)
+        divergent[t] = np.asarray(div)
+        tree_depth[t] = np.asarray(depth)
+        n_leapfrog[t] = np.asarray(nlf)
+        log_target[t] = np.asarray(vlogprob(q))
+
+        do_log = ((t + 1) % max(1, log_every) == 0) or t == 0 or (
+            t + 1 == num_samples
+        )
+        if int(opts.verbose) >= 2:
+            do_log = ((t + 1) % max(1, log_every // 5) == 0) or do_log
+        if do_log:
+            logger.log(
+                f"sample iter {t + 1}/{num_samples}: "
+                f"mean_accept={float(np.mean(accept[t])):.3f}, "
+                f"div_rate={float(np.mean(divergent[t])):.3f}"
+            )
+    logger.log(f"sample: done in {time.time() - t_samp0:.2f}s")
+
+    info = {
+        "warmup_step_size": warmup_eps,
+        "warmup_accept_stat": warmup_accept,
+        "warmup_divergent": warmup_div,
+        "warmup_tree_depth": warmup_depth,
+        "warmup_log_prob_trace": warmup_log_target,
+        "warmup_n_leapfrog": warmup_nlf,
+        "accept_stat": accept,
+        "divergent": divergent,
+        "tree_depth": tree_depth,
+        "n_leapfrog": n_leapfrog,
+        "log_prob_trace": log_target,
+        "step_size_final": step_size_final,
+        "mass_diag_final": mass_diag.copy(),
+    }
+    return gnp.asarray(samples), info
+
+
+# ---------------------------
+# Diagnostics plots
+# ---------------------------
+def moving_average(y, window: int):
+    """Valid-mode moving average."""
+    y = np.asarray(y, dtype=float)
+    w = np.ones(int(window)) / float(window)
+    return np.convolve(y, w, mode="valid")
+
+
+def plot_nuts_diagnostics(samples, info, burnin=0, parameter_indices=None,
+                          ma_window=25):
+    """Trace plots + accept/divergence/step-size diagnostics."""
+    import matplotlib.pyplot as plt
+
+    samples = np.asarray(samples)
+    num_samples, chains, dim = samples.shape
+    pidx = parameter_indices or list(range(dim))
+    n_rows = len(pidx) + 3
+    fig, axes = plt.subplots(n_rows, 1, figsize=(10, min(12, 2.2 * n_rows)),
+                             sharex=False)
+    for k, pi in enumerate(pidx):
+        for c in range(chains):
+            axes[k].plot(samples[burnin:, c, pi], lw=0.5)
+        axes[k].set_ylabel(f"param {pi}")
+    acc = np.asarray(info["accept_stat"]).mean(axis=1)
+    axes[-3].plot(acc, lw=0.5)
+    if len(acc) >= ma_window:
+        axes[-3].plot(
+            np.arange(ma_window - 1, len(acc)), moving_average(acc, ma_window)
+        )
+    axes[-3].set_ylabel("accept")
+    axes[-2].plot(np.asarray(info["divergent"]).mean(axis=1), lw=0.5)
+    axes[-2].set_ylabel("divergence")
+    axes[-1].plot(np.asarray(info["warmup_step_size"]), lw=0.8)
+    axes[-1].set_ylabel("warmup eps")
+    axes[-1].set_xlabel("iteration")
+    plt.tight_layout()
+    plt.show()
+    return fig
