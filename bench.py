@@ -1,14 +1,20 @@
 #!/usr/bin/env python
-"""gpmp_tpu benchmark: REML criterion value+grad throughput (the fit hot
-path, SURVEY.md section 3.2) at n=1000, d=6, float64.
+"""gpmp_tpu benchmark: REML criterion value+grad throughput on the
+noisy-regression config (BASELINE.json config #2, example07 shape):
+n=1000, d=6, Matern p=2 with observation-noise variance, float64 data.
+
+The TPU path uses the mixed-precision Cholesky engine
+(GPMP_CHOL_ENGINE=mixed: f32 Pallas/XLA factorization + f64
+matmul-based refinement); the bench asserts <1e-6 relative agreement
+with the exact f64 engine at the eval point before timing, and falls
+back to the f64 engine if that check fails.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
 
 vs_baseline: speedup over the reference gpmp torch-CPU backend
-(autograd REML value+grad on the same problem), measured in a
-subprocess on this machine; falls back to a recorded constant if the
-reference is unavailable.
+(autograd value+grad of the same criterion), measured in a subprocess
+on this machine.
 """
 
 import json
@@ -20,8 +26,7 @@ import time
 N, D, P_SMOOTH = 1000, 6, 2
 N_EVAL = 20
 SEED = 7
-# fallback: torch-CPU reference throughput measured on this machine
-RECORDED_BASELINE_EVALS_PER_SEC = None
+NOISE_STD = 0.1
 
 _BASELINE_SCRIPT = r"""
 import os, sys, time, json
@@ -31,22 +36,42 @@ import numpy as np
 import gpmp as gp
 import gpmp.num as gnp
 
-N, D, P, SEED, N_EVAL = %d, %d, %d, %d, %d
+N, D, P, SEED, N_EVAL, NOISE_STD = %d, %d, %d, %d, %d, %f
 rng = np.random.default_rng(SEED)
 xi = rng.uniform(size=(N, D))
-zi = np.sin(3 * xi[:, 0]) + 0.5 * np.cos(5 * xi[:, 1])
+zi = np.sin(3 * xi[:, 0]) + 0.5 * np.cos(5 * xi[:, 1]) + NOISE_STD * rng.normal(size=N)
 
 def constant_mean(x, param):
     return gnp.ones((x.shape[0], 1))
 
-def kernel(x, y, covparam, pairwise=False):
-    return gp.kernel.maternp_covariance(x, y, P, covparam, pairwise)
+def kernel_ii_or_tt(x, param, pairwise=False):
+    sigma2 = gnp.exp(param[0])
+    noise_variance = gnp.exp(param[1])
+    loginvrho = param[2:]
+    if pairwise:
+        return sigma2 * gnp.ones((x.shape[0],))
+    K = gnp.scaled_distance(loginvrho, x, x)
+    return sigma2 * gp.kernel.maternp_kernel(P, K) + noise_variance * gnp.eye(K.shape[0])
+
+def kernel_it(x, y, param, pairwise=False):
+    sigma2 = gnp.exp(param[0])
+    loginvrho = param[2:]
+    if pairwise:
+        K = gnp.scaled_distance_elementwise(loginvrho, x, y)
+    else:
+        K = gnp.scaled_distance(loginvrho, x, y)
+    return sigma2 * gp.kernel.maternp_kernel(P, K)
+
+def kernel(x, y, param, pairwise=False):
+    if y is x or y is None:
+        return kernel_ii_or_tt(x, param, pairwise)
+    return kernel_it(x, y, param, pairwise)
 
 model = gp.Model(constant_mean, kernel)
-covparam0 = gp.kernel.anisotropic_parameters_initial_guess(model, xi, zi)
+p0 = np.concatenate([[np.log(np.var(zi))], [2*np.log(0.1)+np.log(np.var(zi))],
+                     -np.log(np.std(xi, axis=0))])
 crit, crit_pre, crit_ng, grad = gp.kernel.make_selection_criterion_with_gradient(
     model, gp.kernel.negative_log_restricted_likelihood, xi, zi)
-p0 = gnp.to_np(covparam0)
 crit_pre(p0); grad(p0)  # warmup
 t0 = time.perf_counter()
 for i in range(N_EVAL):
@@ -59,12 +84,11 @@ print(json.dumps({"evals_per_sec": N_EVAL / dt}))
 
 def measure_baseline():
     try:
-        script = _BASELINE_SCRIPT % (N, D, P_SMOOTH, SEED, max(3, N_EVAL // 4))
+        script = _BASELINE_SCRIPT % (N, D, P_SMOOTH, SEED, max(3, N_EVAL // 4),
+                                     NOISE_STD)
         out = subprocess.run(
             [sys.executable, "-c", script],
-            capture_output=True,
-            text=True,
-            timeout=900,
+            capture_output=True, text=True, timeout=900,
         )
         for line in out.stdout.strip().splitlines()[::-1]:
             try:
@@ -73,46 +97,87 @@ def measure_baseline():
                 continue
     except Exception:
         pass
-    return RECORDED_BASELINE_EVALS_PER_SEC
+    return None
 
 
 def main():
     import numpy as np
     import jax
-    import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import gpmp_tpu as gp
     import gpmp_tpu.num as gnp
+    from gpmp_tpu.core import likelihood
 
     rng = np.random.default_rng(SEED)
-    xi = rng.uniform(size=(N, D))
-    zi = np.sin(3 * xi[:, 0]) + 0.5 * np.cos(5 * xi[:, 1])
+    xi_np = rng.uniform(size=(N, D))
+    zi_np = (
+        np.sin(3 * xi_np[:, 0]) + 0.5 * np.cos(5 * xi_np[:, 1])
+        + NOISE_STD * rng.normal(size=N)
+    )
 
     def constant_mean(x, param):
         return gnp.ones((x.shape[0], 1))
 
-    def kernel(x, y, covparam, pairwise=False):
-        return gp.kernel.maternp_covariance(x, y, P_SMOOTH, covparam, pairwise)
+    def kernel(x, y, param, pairwise=False):
+        sigma2 = gnp.exp(param[0])
+        loginvrho = param[2:]
+        if y is x or y is None:
+            noise_variance = gnp.exp(param[1])
+            if pairwise:
+                return sigma2 * gnp.ones((x.shape[0],))
+            K = gnp.scaled_distance(loginvrho, x, x)
+            return sigma2 * gp.kernel.maternp_kernel(P_SMOOTH, K) + (
+                noise_variance * gnp.eye(K.shape[0])
+            )
+        if pairwise:
+            K = gnp.scaled_distance_elementwise(loginvrho, x, y)
+        else:
+            K = gnp.scaled_distance(loginvrho, x, y)
+        return sigma2 * gp.kernel.maternp_kernel(P_SMOOTH, K)
 
     model = gp.Model(constant_mean, kernel)
-    covparam0 = gp.kernel.anisotropic_parameters_initial_guess(model, xi, zi)
-
-    xi_j, zi_j = gnp.asarray(xi), gnp.asarray(zi)
-
-    vg = jax.jit(
-        jax.value_and_grad(
-            lambda p: model.negative_log_restricted_likelihood(p, xi_j, zi_j)
+    xi, zi = gnp.asarray(xi_np), gnp.asarray(zi_np)
+    p0 = gnp.asarray(
+        np.concatenate(
+            [
+                [np.log(np.var(zi_np))],
+                [2 * np.log(0.1) + np.log(np.var(zi_np))],
+                -np.log(np.std(xi_np, axis=0)),
+            ]
         )
     )
-    p0 = gnp.asarray(covparam0)
-    v, g = vg(p0)
-    jax.block_until_ready((v, g))  # compile warmup
+
+    def make_vg():
+        return jax.jit(
+            jax.value_and_grad(
+                lambda p: model.negative_log_restricted_likelihood(p, xi, zi)
+            )
+        )
+
+    # exact engine reference value
+    os.environ["GPMP_CHOL_ENGINE"] = "f64"
+    v_exact = float(make_vg()(p0)[0])
+
+    # mixed engine: use if it matches the exact value
+    os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+    vg = make_vg()
+    v_mp, g = vg(p0)
+    jax.block_until_ready(g)
+    engine = "mixed"
+    if not np.isfinite(float(v_mp)) or (
+        abs(float(v_mp) - v_exact) / max(abs(v_exact), 1.0) > 1e-6
+    ):
+        os.environ["GPMP_CHOL_ENGINE"] = "f64"
+        vg = make_vg()
+        v_mp, g = vg(p0)
+        jax.block_until_ready(g)
+        engine = "f64"
 
     t0 = time.perf_counter()
     for i in range(N_EVAL):
         v, g = vg(p0 + 0.001 * i)
-    jax.block_until_ready((v, g))
+    jax.block_until_ready(g)
     dt = time.perf_counter() - t0
     evals_per_sec = N_EVAL / dt
 
@@ -122,7 +187,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "reml_nll_grad_evals_per_sec_n1000_d6_f64",
+                "metric": (
+                    "noisy_reml_nll_grad_evals_per_sec_n1000_d6_f64_"
+                    + engine
+                ),
                 "value": round(evals_per_sec, 4),
                 "unit": "evals/s",
                 "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,

@@ -13,24 +13,66 @@ same O(n^3).  A 'block' implementation is kept for cross-checking.
 import jax.numpy as jnp
 
 import gpmp_tpu.num as gnp
-from .linalg import qr_nullspace
+from .linalg import engine_cholesky_solve, qr_nullspace
 
 
 def kriging_predictor_with_zero_mean(model, xi, xt, return_type=0):
     """Simple kriging weights and posterior variance (zero prior mean)."""
     Kii = model.covariance(xi, xi, model.covparam)
     Kit = model.covariance(xi, xt, model.covparam)
-    lambda_t, _ = gnp.cholesky_solve(Kii, Kit)
+    lambda_t = engine_cholesky_solve(Kii, Kit)
     zt_posterior_variance = _compute_posterior_variance(
         model, xt, lambda_t, Kit, return_type
     )
     return lambda_t, zt_posterior_variance
 
 
-def kriging_predictor(model, xi, xt, return_type=0):
+def kriging_predictor(model, xi, xt, return_type=0, method="spd_schur"):
     """Universal kriging weights and posterior variance (linear predictor
-    mean); CPD-safe contrast-space computation."""
-    return _kriging_predictor_nullspace(model, xi, xt, return_type)
+    mean).
+
+    method='spd_schur' (default): Schur-complement solution of the
+    saddle-point system using Cholesky solves of K only --
+      mu     = (P'K^{-1}P)^{-1} (P'K^{-1}K_it - P_t')
+      lambda = K^{-1}(K_it - P mu)
+    Valid whenever K is PD (always true for kernels with a nugget); no
+    n x n QR (which is latency-bound on TPU), and the K-solves go
+    through the configured Cholesky engine.
+
+    method='nullspace': CPD-safe contrast-space computation for
+    generalized (conditionally positive definite) covariances.
+    """
+    if method == "nullspace":
+        return _kriging_predictor_nullspace(model, xi, xt, return_type)
+    return _kriging_predictor_spd_schur(model, xi, xt, return_type)
+
+
+def _kriging_predictor_spd_schur(model, xi, xt, return_type=0):
+    K = model.covariance(xi, xi, model.covparam)
+    P = model.mean(xi, model.meanparam)
+    ni, q = P.shape
+    Kit = model.covariance(xi, xt, model.covparam)
+    Pt = model.mean(xt, model.meanparam)
+
+    rhs = jnp.concatenate([Kit, P], axis=1)
+    X = engine_cholesky_solve(K, rhs)
+    Kinv_Kit = X[:, : Kit.shape[1]]
+    Kinv_P = X[:, Kit.shape[1]:]
+
+    M = P.T @ Kinv_P  # (q, q) SPD
+    Cm = jnp.linalg.cholesky(M)
+    resid = P.T @ Kinv_Kit - Pt.T
+    mu = gnp.solve_triangular(
+        Cm.T, gnp.solve_triangular(Cm, resid, lower=True), lower=False
+    )
+    lambda_t = Kinv_Kit - Kinv_P @ mu
+
+    lambdamu_t = jnp.concatenate([lambda_t, mu], axis=0)
+    RHS = jnp.vstack((Kit, Pt.T))
+    zt_posterior_variance = _compute_posterior_variance(
+        model, xt, lambdamu_t, RHS, return_type
+    )
+    return lambda_t, zt_posterior_variance
 
 
 def kriging_predictor_block(model, xi, xt, return_type=0):

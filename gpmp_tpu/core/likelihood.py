@@ -24,7 +24,11 @@ from math import log, pi
 import jax.numpy as jnp
 
 import gpmp_tpu.num as gnp
-from .linalg import compute_contrast_covariance, compute_contrast_matrix
+from .linalg import (
+    compute_contrast_covariance,
+    compute_contrast_matrix,
+    solve_and_logdet as _solve_and_logdet,
+)
 
 
 def _nan_to_inf(L):
@@ -35,9 +39,8 @@ def negative_log_likelihood_zero_mean(model, covparam, xi, zi):
     """NLL of zi ~ N(0, K(covparam)); +inf if K is not PD."""
     K = model.covariance(xi, xi, covparam)
     n = K.shape[0]
-    Kinv_zi, C = gnp.cholesky_solve(K, zi)
+    Kinv_zi, ldetK = _solve_and_logdet(K, zi)
     norm2 = gnp.einsum("i..., i...", zi, Kinv_zi)
-    ldetK = 2.0 * jnp.sum(jnp.log(jnp.diag(C)))
     L = 0.5 * (n * log(2.0 * pi) + ldetK + norm2)
     return _nan_to_inf(L.reshape(()))
 
@@ -54,16 +57,15 @@ def _reml_profiled(model, covparam, xi, zi):
     K = model.covariance(xi, xi, covparam)
     P = model.mean(xi, model.meanparam)
     n, q = P.shape
-    C = jnp.linalg.cholesky(K)
     rhs = jnp.concatenate([zi.reshape(-1, 1), P], axis=1)
-    A = gnp.solve_triangular(C, rhs, lower=True)  # C^{-1} [z P]
-    az = A[:, 0]
-    AP = A[:, 1:]
-    M = AP.T @ AP  # P' K^{-1} P (q x q)
+    X, ldetK = _solve_and_logdet(K, rhs)  # K^{-1} [z P]
+    Kinv_z = X[:, 0]
+    Kinv_P = X[:, 1:]
+    M = P.T @ Kinv_P  # P' K^{-1} P (q x q, tiny)
     Cm = jnp.linalg.cholesky(M)
-    u = gnp.solve_triangular(Cm, AP.T @ az, lower=True)
-    quad = az @ az - u @ u
-    ldetK = 2.0 * jnp.sum(jnp.log(jnp.diag(C)))
+    b = P.T @ Kinv_z
+    u = gnp.solve_triangular(Cm, b, lower=True)
+    quad = zi @ Kinv_z - u @ u
     ldetM = 2.0 * jnp.sum(jnp.log(jnp.diag(Cm)))
     # P'P is SPD for a full-column-rank design; Cholesky logdet (LU-free)
     ldetPtP = gnp.logdet(P.T @ P)

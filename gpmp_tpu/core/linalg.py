@@ -5,9 +5,45 @@ Reimplements the semantics of /root/reference/gpmp/core/linalg.py:17-141
 as pure jittable functions.
 """
 
+import os
+
 import jax.numpy as jnp
 
 import gpmp_tpu.num as gnp
+
+
+def chol_engine():
+    """Cholesky engine for SPD solves on the hot paths.
+
+    'f64' (default): exact double-precision factorizations.
+    'mixed' (opt-in via GPMP_CHOL_ENGINE=mixed): f32 factorization +
+    f64 matmul-based refinement (gpmp_tpu.ops.mixed) -- ~3x faster on
+    TPU where f64 Cholesky is emulated; accurate to ~1e-8 relative for
+    cond(K) up to ~1e6 (models with an observation-noise term).
+    """
+    eng = os.environ.get("GPMP_CHOL_ENGINE", "auto")
+    return "f64" if eng == "auto" else eng
+
+
+def solve_and_logdet(K, rhs):
+    """(K^{-1} rhs, log det K) via the configured engine; NaN-propagating."""
+    if chol_engine() == "mixed":
+        from gpmp_tpu.ops.mixed import mp_solve_and_logdet
+
+        return mp_solve_and_logdet(K, rhs)
+    X, C = gnp.cholesky_solve(K, rhs)
+    return X, 2.0 * jnp.sum(jnp.log(jnp.diag(C)))
+
+
+def engine_cholesky_solve(K, rhs):
+    """K^{-1} rhs via the configured engine (no logdet)."""
+    if chol_engine() == "mixed":
+        from gpmp_tpu.ops.mixed import refined_cholesky_solve
+
+        X, _ = refined_cholesky_solve(K, rhs)
+        return X
+    X, _C = gnp.cholesky_solve(K, rhs)
+    return X
 
 
 def diag_Kinv_from_chol(C, lower: bool = True):

@@ -1,0 +1,101 @@
+# tests/test_ops.py
+"""Pallas Cholesky kernel + mixed-precision engine tests.
+
+On CPU, the Pallas kernel runs in interpreter mode (small sizes); the
+mixed-precision refinement/logdet math is validated with the XLA f32
+fallback (use_pallas=False) against f64 oracles.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import gpmp_tpu.num as gnp
+from gpmp_tpu.ops.cholesky import cholesky_pallas
+from gpmp_tpu.ops.mixed import (
+    mp_logdet,
+    mp_solve_and_logdet,
+    refined_cholesky_solve,
+)
+
+
+def _spd(n, cond=1e4, seed=0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    eigs = np.logspace(0, -np.log10(cond), n)
+    return Q @ np.diag(eigs) @ Q.T
+
+
+def test_pallas_cholesky_interpret_small():
+    n = 256
+    K = _spd(n, cond=1e3)
+    K32 = jnp.asarray(K, dtype=jnp.float32)
+    L = cholesky_pallas(K32, interpret=True)
+    L_ref = np.linalg.cholesky(K)
+    rel = float(np.max(np.abs(np.asarray(L) - L_ref))) / float(
+        np.abs(L_ref).max()
+    )
+    assert rel < 1e-4
+
+
+def test_pallas_cholesky_interpret_padding():
+    n = 200  # not a multiple of 128 -> exercises SPD identity padding
+    K = _spd(n, cond=1e2, seed=1)
+    L = cholesky_pallas(jnp.asarray(K, dtype=jnp.float32), interpret=True)
+    assert L.shape == (n, n)
+    rec = np.asarray(L) @ np.asarray(L).T
+    np.testing.assert_allclose(rec, K, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("cond,tol", [(1e2, 1e-11), (1e4, 1e-9), (1e6, 1e-4)])
+def test_refined_solve_accuracy(cond, tol):
+    n = 300
+    K = _spd(n, cond=cond, seed=2)
+    rng = np.random.default_rng(3)
+    B = rng.normal(size=(n, 3))
+    Kj = gnp.asarray(K)
+    X, _ = refined_cholesky_solve(Kj, gnp.asarray(B), use_pallas=False,
+                                  n_refine=6)
+    X_ref = np.linalg.solve(K, B)
+    rel = np.max(np.abs(np.asarray(X) - X_ref)) / np.max(np.abs(X_ref))
+    assert rel < tol
+
+
+@pytest.mark.parametrize("cond,tol", [(1e2, 1e-10), (1e4, 1e-9), (1e6, 1e-6)])
+def test_mp_logdet_accuracy(cond, tol):
+    n = 300
+    K = _spd(n, cond=cond, seed=4)
+    Kj = gnp.asarray(K)
+    _, ld = mp_solve_and_logdet(Kj, gnp.asarray(np.ones(n)), use_pallas=False)
+    _s, ld_ref = np.linalg.slogdet(K)
+    assert abs(float(ld) - ld_ref) / max(abs(ld_ref), 1.0) < tol
+
+
+def test_mp_engine_differentiable():
+    n = 64
+    K0 = _spd(n, cond=1e3, seed=5)
+    z = np.random.default_rng(6).normal(size=n)
+
+    def nll(theta):
+        K = gnp.asarray(K0) * jnp.exp(theta)
+        x, ld = mp_solve_and_logdet(K, gnp.asarray(z), use_pallas=False)
+        return 0.5 * (ld + z @ x)
+
+    g = jax.grad(nll)(jnp.asarray(0.1))
+    # FD check
+    h = 1e-5
+    fd = (float(nll(jnp.asarray(0.1 + h))) - float(nll(jnp.asarray(0.1 - h)))) / (
+        2 * h
+    )
+    np.testing.assert_allclose(float(g), fd, rtol=1e-5)
+
+
+def test_nonpd_propagates_nan():
+    n = 64
+    K = -np.eye(n)
+    x, ld = mp_solve_and_logdet(
+        gnp.asarray(K), gnp.asarray(np.ones(n)), use_pallas=False
+    )
+    assert np.isnan(float(ld)) or np.isinf(float(ld))
