@@ -13,6 +13,18 @@ from .batched import (
     shard_batches,
 )
 from .gram import sharded_gram, sharded_matvec
+from .chol import (
+    sharded_cholesky,
+    sharded_cholesky_solve,
+    sharded_solve_and_logdet,
+    blocked_solve_lower,
+    blocked_solve_upper_t,
+)
+from .likelihood import (
+    sharded_covariance,
+    sharded_negative_log_restricted_likelihood,
+    sharded_negative_log_likelihood_zero_mean,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,4 +33,12 @@ __all__ = [
     "shard_batches",
     "sharded_gram",
     "sharded_matvec",
+    "sharded_cholesky",
+    "sharded_cholesky_solve",
+    "sharded_solve_and_logdet",
+    "blocked_solve_lower",
+    "blocked_solve_upper_t",
+    "sharded_covariance",
+    "sharded_negative_log_restricted_likelihood",
+    "sharded_negative_log_likelihood_zero_mean",
 ]

@@ -1,0 +1,179 @@
+# gpmp_tpu/parallel/chol.py
+"""Distributed blocked Cholesky and triangular solves over a device mesh.
+
+This is the large-n exact-GP scaling path (SURVEY.md section 5: the
+reference is strictly single-host and offers only mini-batched criteria
+for large n; the TPU-native design shards the O(n^2) objects instead).
+
+Layout: K is row-block sharded, P(axis, None) -- device k holds the
+(n/n_dev, n) row slab.  The factorization is right-looking over
+``block``-wide panels:
+
+  1. all-gather the current raw panel K[:, c0:c0+B]   (n*B values, ICI)
+  2. every device factors the (B, B) diagonal block redundantly
+     (cheaper than a broadcast for small B),
+  3. each device computes its rows of the panel's L factor with one
+     local triangular solve,
+  4. all-gather the solved panel and apply the local trailing SYRK
+     update  K_loc -= T_loc T_all^T  (one (n_loc, B) x (B, n) matmul
+     per step -- MXU work, no K-sized communication ever).
+
+Total communication is 2 n^2 values over the whole factorization (two
+(n, B) gathers per panel times n/B panels), i.e. the same order as
+gathering K once, riding ICI.  Compute per device is the usual
+n^3 / (3 n_dev) + O(n B^2) redundant panel work.
+
+The triangular solves run at the top level on the sharded factor with
+``lax.fori_loop`` and fixed (B, n) dynamic slices, so the loop body
+compiles once; GSPMD inserts the per-step collectives.
+
+Everything is differentiable (static-trip-count loops, Cholesky /
+triangular-solve primitives), so the sharded REML criterion in
+``parallel.likelihood`` feeds ``jax.value_and_grad`` directly.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+from jax.scipy.linalg import solve_triangular
+
+
+def _gather_rows(x_loc, n, axis_name):
+    """all-gather row blocks as psum of a zero-padded slab.
+
+    Functionally lax.all_gather(x_loc, tiled=True), but its transpose is
+    a local dynamic_slice instead of an f64 reduce-scatter, which XLA's
+    TPU float64-emulation pass does not implement (observed: 'While
+    rewriting computation to not contain X64 element types ... HLO
+    %reduce_scatter f64' compile error on v5e).  Costs an all-reduce
+    (2x all-gather ICI traffic) -- acceptable for the (n, block) panels.
+    """
+    n_loc = x_loc.shape[0]
+    pad = jnp.zeros((n,) + x_loc.shape[1:], x_loc.dtype)
+    off = lax.axis_index(axis_name) * jnp.int32(n_loc)
+    pad = lax.dynamic_update_slice(
+        pad, x_loc, (off,) + (jnp.int32(0),) * (x_loc.ndim - 1)
+    )
+    return lax.psum(pad, axis_name)
+
+
+def sharded_cholesky(K, mesh, axis_name="shard", block=256):
+    """Lower Cholesky factor of a row-sharded SPD matrix.
+
+    K: (n, n), n divisible by both the mesh axis size and ``block``.
+    Returns L (same sharding), strict upper triangle zeroed.
+    """
+    n = K.shape[0]
+    n_dev = mesh.shape[axis_name]
+    if n % n_dev != 0:
+        raise ValueError("n must be divisible by the mesh axis size")
+    n_loc = n // n_dev
+    if n % block != 0:
+        raise ValueError("n must be divisible by block")
+    if block > n_loc:
+        raise ValueError(
+            f"block ({block}) must not exceed the per-device row count "
+            f"({n_loc}); decrease block or the device count"
+        )
+    nb = n // block
+    dtype = K.dtype
+
+    def per_shard(K_loc):
+        idx = lax.axis_index(axis_name)
+        off = idx * n_loc
+        grow_loc = off + jnp.arange(n_loc, dtype=jnp.int32)[:, None]
+        grow_all = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+        def step(j, K_loc):
+            c0 = j * block
+            panel_loc = lax.dynamic_slice(K_loc, (0, c0), (n_loc, block))
+            panel = _gather_rows(panel_loc, n, axis_name)
+            D = lax.dynamic_slice(panel, (c0, 0), (block, block))
+            Ljj = jnp.linalg.cholesky(D)
+            # my rows of the panel's L: A_ij L_jj^{-T}; for the diagonal
+            # block rows this equals L_jj itself (D L_jj^{-T} = L_jj)
+            T_loc = solve_triangular(
+                Ljj, panel_loc.T, lower=True
+            ).T
+            # trailing rows only (global row >= c0 + block)
+            Mt_loc = jnp.where(grow_loc >= c0 + block, T_loc, 0.0)
+            Mt_all = _gather_rows(Mt_loc, n, axis_name)
+            K_loc = K_loc - Mt_loc @ Mt_all.T
+            new_panel = jnp.where(grow_loc >= c0, T_loc, panel_loc)
+            return lax.dynamic_update_slice(K_loc, new_panel, (0, c0))
+
+        K_loc = lax.fori_loop(0, nb, step, K_loc)
+        # zero the strict upper triangle of this slab
+        col = jnp.arange(n, dtype=jnp.int32)[None, :]
+        return jnp.where(col <= grow_loc, K_loc, jnp.zeros((), dtype))
+
+    f = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis_name),),
+        out_specs=P(axis_name),
+    )
+    return f(jax.device_put(K, NamedSharding(mesh, P(axis_name))))
+
+
+def blocked_solve_lower(L, B, block=256):
+    """y = L^{-1} B by blocked forward substitution on a (sharded) lower
+    factor.  Fixed-shape loop body: one (block, n) row slab + one masked
+    matmul per step; GSPMD handles the cross-shard slices."""
+    n = L.shape[0]
+    nb = n // block
+    squeeze = B.ndim == 1
+    Bm = B.reshape(-1, 1) if squeeze else B
+    m = Bm.shape[1]
+    iota = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+    def body(j, y):
+        c0 = j * block
+        Lr = lax.dynamic_slice(L, (c0, 0), (block, n))
+        done = (iota < c0).astype(L.dtype)
+        rhs_j = lax.dynamic_slice(Bm, (c0, 0), (block, m)) - Lr @ (y * done)
+        Ljj = lax.dynamic_slice(Lr, (0, c0), (block, block))
+        yj = solve_triangular(Ljj, rhs_j, lower=True)
+        return lax.dynamic_update_slice(y, yj, (c0, 0))
+
+    y = lax.fori_loop(0, nb, body, jnp.zeros_like(Bm))
+    return y.reshape(-1) if squeeze else y
+
+
+def blocked_solve_upper_t(L, B, block=256):
+    """x = L^{-T} B by blocked backward substitution (column slabs of L
+    read as transposed row slabs)."""
+    n = L.shape[0]
+    nb = n // block
+    squeeze = B.ndim == 1
+    Bm = B.reshape(-1, 1) if squeeze else B
+    m = Bm.shape[1]
+    iota = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+    def body(jr, x):
+        c0 = (nb - 1 - jr) * block
+        Lc = lax.dynamic_slice(L, (0, c0), (n, block))
+        done = (iota >= c0 + block).astype(L.dtype)
+        rhs_j = lax.dynamic_slice(Bm, (c0, 0), (block, m)) - Lc.T @ (x * done)
+        Ljj = lax.dynamic_slice(Lc, (c0, 0), (block, block))
+        xj = solve_triangular(Ljj.T, rhs_j, lower=False)
+        return lax.dynamic_update_slice(x, xj, (c0, 0))
+
+    x = lax.fori_loop(0, nb, body, jnp.zeros_like(Bm))
+    return x.reshape(-1) if squeeze else x
+
+
+def sharded_cholesky_solve(K, B, mesh, axis_name="shard", block=256):
+    """(K^{-1} B, L) with K row-sharded over the mesh."""
+    L = sharded_cholesky(K, mesh, axis_name=axis_name, block=block)
+    y = blocked_solve_lower(L, B, block=block)
+    return blocked_solve_upper_t(L, y, block=block), L
+
+
+def sharded_solve_and_logdet(K, B, mesh, axis_name="shard", block=256):
+    """(K^{-1} B, log det K) with K row-sharded over the mesh."""
+    X, L = sharded_cholesky_solve(K, B, mesh, axis_name=axis_name,
+                                  block=block)
+    return X, 2.0 * jnp.sum(jnp.log(jnp.diag(L)))

@@ -1,0 +1,113 @@
+# gpmp_tpu/parallel/likelihood.py
+"""Sharded large-n GP selection criteria over a device mesh.
+
+Same mathematics as gpmp_tpu.core.likelihood (profiled REML, one
+Cholesky -- reference semantics /root/reference/gpmp/core/likelihood.py
+:30-129) but with the (n, n) covariance row-sharded across devices and
+factorized by parallel.chol.sharded_cholesky, so n is bounded by
+aggregate HBM instead of one chip (the reference's only large-n answer
+is mini-batched criteria, SURVEY.md section 5).
+
+The model kernel is called as cross-covariance (x_rows, x_full), which
+skips its `y is x` self-branch; the self-vs-cross diagonal difference
+(noise variance + nugget) is measured once per covparam with two O(n)
+pairwise evaluations and added back to the global diagonal locally on
+each shard.
+"""
+
+from math import log, pi
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+import gpmp_tpu.num as gnp
+from gpmp_tpu.core.likelihood import _nan_to_inf
+from .chol import sharded_solve_and_logdet
+
+
+def _diag_correction(model, covparam, xi):
+    """Self-branch minus cross-branch diagonal: noise variance + nugget,
+    per point.  xi + 0*xi defeats the kernel's `y is x` identity test."""
+    d_self = model.covariance(xi, None, covparam, pairwise=True)
+    xi_c = xi + jnp.zeros_like(xi)
+    d_cross = model.covariance(xi, xi_c, covparam, pairwise=True)
+    return d_self - d_cross
+
+
+def sharded_covariance(model, covparam, xi, mesh, axis_name="shard"):
+    """Row-sharded (n, n) covariance with the self-branch diagonal.
+
+    Returns K with sharding P(axis_name, None); each device computes its
+    (n/n_dev, n) slab locally from a replicated copy of xi (the only
+    communication is the O(n d) broadcast of the points)."""
+    n = xi.shape[0]
+    n_dev = mesh.shape[axis_name]
+    if n % n_dev != 0:
+        raise ValueError("n must be divisible by the mesh axis size")
+    n_loc = n // n_dev
+    corr = _diag_correction(model, covparam, xi)
+
+    def per_shard(x_loc, x_full, corr_loc, covparam):
+        Kl = model.covariance(x_loc, x_full, covparam)
+        off = lax.axis_index(axis_name) * n_loc
+        grow = off + jnp.arange(n_loc, dtype=jnp.int32)[:, None]
+        col = jnp.arange(n, dtype=jnp.int32)[None, :]
+        return Kl + jnp.where(col == grow, corr_loc[:, None], 0.0)
+
+    f = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(), P(axis_name), P()),
+        out_specs=P(axis_name),
+    )
+    shard = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    return f(
+        jax.device_put(xi, shard),
+        jax.device_put(xi, repl),
+        jax.device_put(corr, shard),
+        covparam,
+    )
+
+
+def sharded_negative_log_restricted_likelihood(
+    model, covparam, xi, zi, mesh, axis_name="shard", block=256
+):
+    """Profiled REML with the covariance sharded over the mesh.
+
+    Identical value to core.likelihood.negative_log_restricted_likelihood
+    (impl='profiled'); differentiable end-to-end for value_and_grad."""
+    K = sharded_covariance(model, covparam, xi, mesh, axis_name=axis_name)
+    Pd = model.mean(xi, model.meanparam)
+    n, q = Pd.shape
+    rhs = jnp.concatenate([zi.reshape(-1, 1), Pd], axis=1)
+    X, ldetK = sharded_solve_and_logdet(
+        K, rhs, mesh, axis_name=axis_name, block=block
+    )
+    Kinv_z = X[:, 0]
+    Kinv_P = X[:, 1:]
+    M = Pd.T @ Kinv_P
+    Cm = jnp.linalg.cholesky(M)
+    b = Pd.T @ Kinv_z
+    u = gnp.solve_triangular(Cm, b, lower=True)
+    quad = zi @ Kinv_z - u @ u
+    ldetM = 2.0 * jnp.sum(jnp.log(jnp.diag(Cm)))
+    ldetPtP = gnp.logdet(Pd.T @ Pd)
+    L = 0.5 * ((n - q) * log(2.0 * pi) + ldetK + ldetM - ldetPtP + quad)
+    return _nan_to_inf(L.reshape(()))
+
+
+def sharded_negative_log_likelihood_zero_mean(
+    model, covparam, xi, zi, mesh, axis_name="shard", block=256
+):
+    """Zero-mean NLL with the covariance sharded over the mesh."""
+    K = sharded_covariance(model, covparam, xi, mesh, axis_name=axis_name)
+    n = K.shape[0]
+    Kinv_z, ldetK = sharded_solve_and_logdet(
+        K, zi, mesh, axis_name=axis_name, block=block
+    )
+    L = 0.5 * (n * log(2.0 * pi) + ldetK + zi @ Kinv_z)
+    return _nan_to_inf(L.reshape(()))
