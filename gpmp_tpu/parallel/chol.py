@@ -32,12 +32,16 @@ triangular-solve primitives), so the sharded REML criterion in
 ``parallel.likelihood`` feeds ``jax.value_and_grad`` directly.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 from jax.scipy.linalg import solve_triangular
+
+from gpmp_tpu.ops.refine import newton_tri_inv, refined_cholesky, refined_solve_lower
 
 
 def _gather_rows(x_loc, n, axis_name):
@@ -59,12 +63,32 @@ def _gather_rows(x_loc, n, axis_name):
     return lax.psum(pad, axis_name)
 
 
-def sharded_cholesky(K, mesh, axis_name="shard", block=256):
+def sharded_cholesky(K, mesh, axis_name="shard", block=256,
+                     panel_impl="auto"):
     """Lower Cholesky factor of a row-sharded SPD matrix.
 
     K: (n, n), n divisible by both the mesh axis size and ``block``.
     Returns L (same sharding), strict upper triangle zeroed.
+
+    panel_impl: 'refined' factors each (block, block) diagonal panel via
+    f32 Cholesky + Ogita-Aishima f64-matmul refinement (ops/refine.py)
+    and solves the panel with the refined inverse -- on TPU this removes
+    the n/block * ~200 ms latency of emulated f64 panel factorizations,
+    making the whole factorization matmul-bound.  'direct' uses f64
+    jnp.linalg.cholesky / solve_triangular.  'auto' (default): refined
+    for float64 inputs, direct otherwise.  Refined panels inherit the
+    fail-visible NaN guard (cond(panel) beyond the f32 range -> NaN).
+
+    Differentiable via a custom VJP (Murray 2016) built on the blocked
+    solves -- reverse mode saves only L, not the per-panel loop state
+    (differentiating through the fori_loop would checkpoint the full
+    (n_loc, n) carry every panel: observed 51 GB HBM at n=16384 f64).
     """
+    return _sharded_chol_cvjp(mesh, axis_name, block, panel_impl, K)
+
+
+def _sharded_cholesky_impl(K, mesh, axis_name="shard", block=256,
+                           panel_impl="auto"):
     n = K.shape[0]
     n_dev = mesh.shape[axis_name]
     if n % n_dev != 0:
@@ -79,6 +103,8 @@ def sharded_cholesky(K, mesh, axis_name="shard", block=256):
         )
     nb = n // block
     dtype = K.dtype
+    if panel_impl == "auto":
+        panel_impl = "refined" if dtype == jnp.float64 else "direct"
 
     def per_shard(K_loc):
         idx = lax.axis_index(axis_name)
@@ -91,12 +117,16 @@ def sharded_cholesky(K, mesh, axis_name="shard", block=256):
             panel_loc = lax.dynamic_slice(K_loc, (0, c0), (n_loc, block))
             panel = _gather_rows(panel_loc, n, axis_name)
             D = lax.dynamic_slice(panel, (c0, 0), (block, block))
-            Ljj = jnp.linalg.cholesky(D)
             # my rows of the panel's L: A_ij L_jj^{-T}; for the diagonal
             # block rows this equals L_jj itself (D L_jj^{-T} = L_jj)
-            T_loc = solve_triangular(
-                Ljj, panel_loc.T, lower=True
-            ).T
+            if panel_impl == "refined":
+                Ljj, Mjj = refined_cholesky(D, with_inverse=True)
+                T_loc = refined_solve_lower(Ljj, Mjj, panel_loc)
+            else:
+                Ljj = jnp.linalg.cholesky(D)
+                T_loc = solve_triangular(
+                    Ljj, panel_loc.T, lower=True
+                ).T
             # trailing rows only (global row >= c0 + block)
             Mt_loc = jnp.where(grow_loc >= c0 + block, T_loc, 0.0)
             Mt_all = _gather_rows(Mt_loc, n, axis_name)
@@ -120,7 +150,36 @@ def sharded_cholesky(K, mesh, axis_name="shard", block=256):
 
 def blocked_solve_lower(L, B, block=256):
     """y = L^{-1} B by blocked forward substitution on a (sharded) lower
-    factor.  Fixed-shape loop body: one (block, n) row slab + one masked
+    factor.  Custom VJP (triangular-solve adjoint) keeps reverse mode
+    free of per-step loop checkpoints."""
+    return _solve_lower_cvjp(block, L, B)
+
+
+def blocked_solve_upper_t(L, B, block=256):
+    """x = L^{-T} B by blocked backward substitution (column slabs of L
+    read as transposed row slabs).  Custom VJP as above."""
+    return _solve_upper_t_cvjp(block, L, B)
+
+
+def _panel_solve_lower(Ljj, rhs):
+    """Ljj^{-1} rhs for a (block, block) diagonal panel.  For f64, an
+    emulated-f64 triangular solve is latency-bound on TPU (~100 ms at
+    block=1024); instead invert in f32, Newton-refine the inverse with
+    f64 matmuls, apply, and do one residual-refinement sweep."""
+    if Ljj.dtype != jnp.float64:
+        return solve_triangular(Ljj, rhs, lower=True)
+    M32 = solve_triangular(
+        Ljj.astype(jnp.float32),
+        jnp.eye(Ljj.shape[0], dtype=jnp.float32),
+        lower=True,
+    )
+    M = newton_tri_inv(Ljj, M32.astype(Ljj.dtype), steps=1)
+    y = M @ rhs
+    return y + M @ (rhs - Ljj @ y)
+
+
+def _blocked_solve_lower_impl(L, B, block):
+    """Fixed-shape loop body: one (block, n) row slab + one masked
     matmul per step; GSPMD handles the cross-shard slices."""
     n = L.shape[0]
     nb = n // block
@@ -135,16 +194,14 @@ def blocked_solve_lower(L, B, block=256):
         done = (iota < c0).astype(L.dtype)
         rhs_j = lax.dynamic_slice(Bm, (c0, 0), (block, m)) - Lr @ (y * done)
         Ljj = lax.dynamic_slice(Lr, (0, c0), (block, block))
-        yj = solve_triangular(Ljj, rhs_j, lower=True)
+        yj = _panel_solve_lower(Ljj, rhs_j)
         return lax.dynamic_update_slice(y, yj, (c0, 0))
 
     y = lax.fori_loop(0, nb, body, jnp.zeros_like(Bm))
     return y.reshape(-1) if squeeze else y
 
 
-def blocked_solve_upper_t(L, B, block=256):
-    """x = L^{-T} B by blocked backward substitution (column slabs of L
-    read as transposed row slabs)."""
+def _blocked_solve_upper_t_impl(L, B, block):
     n = L.shape[0]
     nb = n // block
     squeeze = B.ndim == 1
@@ -158,11 +215,92 @@ def blocked_solve_upper_t(L, B, block=256):
         done = (iota >= c0 + block).astype(L.dtype)
         rhs_j = lax.dynamic_slice(Bm, (c0, 0), (block, m)) - Lc.T @ (x * done)
         Ljj = lax.dynamic_slice(Lc, (c0, 0), (block, block))
-        xj = solve_triangular(Ljj.T, rhs_j, lower=False)
+        # x_j = Ljj^{-T} rhs_j = (Ljj^{-1} rhs_j^T-form) via the same
+        # f32-inverse + refinement trick, transposed
+        if Ljj.dtype == jnp.float64:
+            M32 = solve_triangular(
+                Ljj.astype(jnp.float32),
+                jnp.eye(block, dtype=jnp.float32),
+                lower=True,
+            )
+            M = newton_tri_inv(Ljj, M32.astype(Ljj.dtype), steps=1)
+            xj = M.T @ rhs_j
+            xj = xj + M.T @ (rhs_j - Ljj.T @ xj)
+        else:
+            xj = solve_triangular(Ljj.T, rhs_j, lower=False)
         return lax.dynamic_update_slice(x, xj, (c0, 0))
 
     x = lax.fori_loop(0, nb, body, jnp.zeros_like(Bm))
     return x.reshape(-1) if squeeze else x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _solve_lower_cvjp(block, L, B):
+    return _blocked_solve_lower_impl(L, B, block)
+
+
+def _solve_lower_fwd(block, L, B):
+    y = _blocked_solve_lower_impl(L, B, block)
+    return y, (L, y)
+
+
+def _solve_lower_bwd(block, res, y_bar):
+    # y = L^{-1} B:  B_bar = L^{-T} y_bar,  L_bar = -tril(B_bar y^T)
+    L, y = res
+    B_bar = _blocked_solve_upper_t_impl(L, y_bar, block)
+    ym = y.reshape(-1, 1) if y.ndim == 1 else y
+    bm = B_bar.reshape(-1, 1) if B_bar.ndim == 1 else B_bar
+    return -jnp.tril(bm @ ym.T), B_bar
+
+
+_solve_lower_cvjp.defvjp(_solve_lower_fwd, _solve_lower_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _solve_upper_t_cvjp(block, L, B):
+    return _blocked_solve_upper_t_impl(L, B, block)
+
+
+def _solve_upper_t_fwd(block, L, B):
+    x = _blocked_solve_upper_t_impl(L, B, block)
+    return x, (L, x)
+
+
+def _solve_upper_t_bwd(block, res, x_bar):
+    # x = L^{-T} B:  B_bar = L^{-1} x_bar,  L_bar = -tril(x B_bar^T)
+    L, x = res
+    B_bar = _blocked_solve_lower_impl(L, x_bar, block)
+    xm = x.reshape(-1, 1) if x.ndim == 1 else x
+    bm = B_bar.reshape(-1, 1) if B_bar.ndim == 1 else B_bar
+    return -jnp.tril(xm @ bm.T), B_bar
+
+
+_solve_upper_t_cvjp.defvjp(_solve_upper_t_fwd, _solve_upper_t_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _sharded_chol_cvjp(mesh, axis_name, block, panel_impl, K):
+    return _sharded_cholesky_impl(K, mesh, axis_name=axis_name, block=block,
+                                  panel_impl=panel_impl)
+
+
+def _sharded_chol_fwd(mesh, axis_name, block, panel_impl, K):
+    L = _sharded_cholesky_impl(K, mesh, axis_name=axis_name, block=block,
+                               panel_impl=panel_impl)
+    return L, L
+
+
+def _sharded_chol_bwd(mesh, axis_name, block, panel_impl, L, L_bar):
+    # Murray (2016): K_bar = 0.5 (S + S^T), S = L^{-T} Phi(L^T L_bar) L^{-1}
+    L_bar = jnp.tril(L_bar)
+    Pm = L.T @ L_bar
+    Pm = jnp.tril(Pm) - 0.5 * jnp.diag(jnp.diag(Pm))
+    tmp = _blocked_solve_upper_t_impl(L, Pm.T, block)   # L^{-T} Pm^T
+    S = _blocked_solve_upper_t_impl(L, tmp.T, block)    # L^{-T} Pm L^{-1}
+    return (0.5 * (S + S.T),)
+
+
+_sharded_chol_cvjp.defvjp(_sharded_chol_fwd, _sharded_chol_bwd)
 
 
 def sharded_cholesky_solve(K, B, mesh, axis_name="shard", block=256):

@@ -79,8 +79,17 @@ def sharded_negative_log_restricted_likelihood(
     """Profiled REML with the covariance sharded over the mesh.
 
     Identical value to core.likelihood.negative_log_restricted_likelihood
-    (impl='profiled'); differentiable end-to-end for value_and_grad."""
-    K = sharded_covariance(model, covparam, xi, mesh, axis_name=axis_name)
+    (impl='profiled'); differentiable end-to-end for value_and_grad.
+
+    The covariance construction is rematerialized (jax.checkpoint): the
+    Matern/exponential kernels otherwise save O(10) n x n autodiff
+    residuals, which at n=16384 f64 exceeds single-chip HBM (observed
+    52 GB); with remat the backward pass recomputes them from the O(n d)
+    points."""
+    cov = jax.checkpoint(
+        lambda p: sharded_covariance(model, p, xi, mesh, axis_name=axis_name)
+    )
+    K = cov(covparam)
     Pd = model.mean(xi, model.meanparam)
     n, q = Pd.shape
     rhs = jnp.concatenate([zi.reshape(-1, 1), Pd], axis=1)
@@ -103,8 +112,12 @@ def sharded_negative_log_restricted_likelihood(
 def sharded_negative_log_likelihood_zero_mean(
     model, covparam, xi, zi, mesh, axis_name="shard", block=256
 ):
-    """Zero-mean NLL with the covariance sharded over the mesh."""
-    K = sharded_covariance(model, covparam, xi, mesh, axis_name=axis_name)
+    """Zero-mean NLL with the covariance sharded over the mesh
+    (rematerialized, see sharded_negative_log_restricted_likelihood)."""
+    cov = jax.checkpoint(
+        lambda p: sharded_covariance(model, p, xi, mesh, axis_name=axis_name)
+    )
+    K = cov(covparam)
     n = K.shape[0]
     Kinv_z, ldetK = sharded_solve_and_logdet(
         K, zi, mesh, axis_name=axis_name, block=block

@@ -99,3 +99,23 @@ def test_nonpd_propagates_nan():
         gnp.asarray(K), gnp.asarray(np.ones(n)), use_pallas=False
     )
     assert np.isnan(float(ld)) or np.isinf(float(ld))
+
+
+@pytest.mark.parametrize("cond,steps,tol", [(1e2, 2, 1e-13), (1e4, 2, 1e-11),
+                                            (1e6, 3, 1e-8)])
+def test_refined_cholesky_accuracy(cond, steps, tol):
+    from gpmp_tpu.ops.refine import refined_cholesky
+
+    n = 300
+    K = _spd(n, cond=cond, seed=7)
+    L = np.asarray(refined_cholesky(gnp.asarray(K), steps=steps))
+    L_ref = np.linalg.cholesky(K)
+    rel = np.abs(L - L_ref).max() / np.abs(L_ref).max()
+    assert rel < tol
+
+
+def test_refined_cholesky_nonpd_nan():
+    from gpmp_tpu.ops.refine import refined_cholesky
+
+    L = refined_cholesky(gnp.asarray(-np.eye(64)))
+    assert np.isnan(np.asarray(L)).any()
