@@ -79,6 +79,11 @@ class MHOptions:
         default="Sampling from target distribution..."
     )
     seed: Optional[int] = None
+    # optional jax.sharding.Mesh: shard the chain axis across devices so
+    # each device advances n_chains / n_devices chains (no reference
+    # counterpart -- the reference is single-process; SURVEY.md 2.7)
+    mesh: Optional[Any] = None
+    mesh_axis_name: str = "chains"
 
     def __post_init__(self):
         if self.proposal_distribution_param_init is None:
@@ -134,6 +139,22 @@ class MetropolisHastings:
         )
         self._block_kernel = None
         self._vmapped_logtarget = jax.jit(jax.vmap(self._safe_log_target))
+        self._chain_sharding = None
+        if self.options.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._chain_sharding = NamedSharding(
+                self.options.mesh, PartitionSpec(self.options.mesh_axis_name)
+            )
+
+    def _shard_chains(self, *arrays):
+        """Place chain-major arrays with the chain axis sharded over the
+        mesh (identity without a mesh); GSPMD then runs each device's
+        chains locally inside the jitted block kernel."""
+        if self._chain_sharding is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        out = tuple(jax.device_put(a, self._chain_sharding) for a in arrays)
+        return out if len(out) > 1 else out[0]
 
     # ------------------------------------------------------------------
     # jitted batched kernel
@@ -220,6 +241,7 @@ class MetropolisHastings:
         x0 = jnp.asarray(self.x[:, self.global_iter, :])
         lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
         lt0 = jnp.where(jnp.isnan(lt0), jax.vmap(self._safe_log_target)(x0), lt0)
+        x0, lt0, chols = self._shard_chains(x0, lt0, chols)
 
         _xf, _ltf, xs, accepts, lts = kernel(x0, lt0, chols, keys)
 

@@ -19,6 +19,7 @@ stages.
 import time
 import warnings
 from dataclasses import dataclass
+from typing import Any, Optional
 
 import numpy as np
 from numpy.random import default_rng
@@ -35,6 +36,10 @@ from . import knn_cov
 @dataclass
 class ParticlesSetConfig:
     initial_distribution_type: str = "randunif"
+    # optional jax.sharding.Mesh: shard the particle axis across devices
+    # (each device reweights/moves n / n_devices particles)
+    mesh: Optional[Any] = None
+    mesh_axis_name: str = "particles"
     resample_scheme: str = "multinomial"  # or "residual"
     param_s_initial_value: float = 0.5
     param_s_upper_bound: float = 1e5
@@ -84,8 +89,21 @@ class ParticlesSet:
         self.logpx = None
         self.w = None
         self.w_tmp = None
+        self._particle_sharding = None
+        if self.config.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._particle_sharding = NamedSharding(
+                self.config.mesh, PartitionSpec(self.config.mesh_axis_name)
+            )
         self.particles_init(box, n, method=self.config.initial_distribution_type)
         self.logpdf_function = None
+
+    def _shard(self, a):
+        """Shard the particle axis over the mesh (identity without one)."""
+        if self._particle_sharding is None:
+            return a
+        return jax.device_put(a, self._particle_sharding)
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -100,7 +118,7 @@ class ParticlesSet:
         self.n = n
         if method == "randunif":
             u = self.rng.uniform(size=(n, self.dim))
-            self.x = gnp.asarray(qmc.scale(u, box[0], box[1]))
+            self.x = self._shard(gnp.asarray(qmc.scale(u, box[0], box[1])))
         else:
             raise NotImplementedError(
                 f"The method '{method}' is not supported. Currently, only "

@@ -17,7 +17,7 @@ positive-distance median.
 """
 
 from dataclasses import dataclass
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import numpy as np
 
@@ -44,6 +44,9 @@ class SVGDOptions:
     annealing_schedule: str = "geometric"
     sampling_box: Optional[list] = None
     store_particles_history: bool = False
+    # optional jax.sharding.Mesh: shard the particle axis across devices
+    mesh: Optional[Any] = None
+    mesh_axis_name: str = "particles"
     verbose: int = 1
     progress: bool = True
     log_every: int = 50
@@ -264,6 +267,13 @@ def svgd_sample(log_prob, particles_initial=None, *, n_particles=None,
         elif particles.ndim != 2:
             raise ValueError("particles_initial must be 1D or 2D.")
 
+    if opts.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        particles = jax.device_put(
+            particles,
+            NamedSharding(opts.mesh, PartitionSpec(opts.mesh_axis_name)),
+        )
     n_eff, dim_eff = particles.shape
     if n_particles is not None and int(n_particles) != n_eff:
         raise ValueError("n_particles does not match particles_initial.")

@@ -25,6 +25,7 @@ from .likelihood import (
     sharded_negative_log_restricted_likelihood,
     sharded_negative_log_likelihood_zero_mean,
 )
+from .predict import sharded_predict, sharded_cross_covariance
 
 __all__ = [
     "make_mesh",
@@ -41,4 +42,6 @@ __all__ = [
     "sharded_covariance",
     "sharded_negative_log_restricted_likelihood",
     "sharded_negative_log_likelihood_zero_mean",
+    "sharded_predict",
+    "sharded_cross_covariance",
 ]

@@ -148,17 +148,28 @@ def _sharded_cholesky_impl(K, mesh, axis_name="shard", block=256,
     return f(jax.device_put(K, NamedSharding(mesh, P(axis_name))))
 
 
-def blocked_solve_lower(L, B, block=256):
+def blocked_solve_lower(L, B, block=256, mesh=None, axis_name="shard"):
     """y = L^{-1} B by blocked forward substitution on a (sharded) lower
     factor.  Custom VJP (triangular-solve adjoint) keeps reverse mode
-    free of per-step loop checkpoints."""
-    return _solve_lower_cvjp(block, L, B)
+    free of per-step loop checkpoints.  Passing mesh row-shards the
+    solution carry (essential when B is (n, n): a replicated carry
+    would defeat multi-chip memory scaling)."""
+    return _solve_lower_cvjp(block, mesh, axis_name, L, B)
 
 
-def blocked_solve_upper_t(L, B, block=256):
+def blocked_solve_upper_t(L, B, block=256, mesh=None, axis_name="shard"):
     """x = L^{-T} B by blocked backward substitution (column slabs of L
     read as transposed row slabs).  Custom VJP as above."""
-    return _solve_upper_t_cvjp(block, L, B)
+    return _solve_upper_t_cvjp(block, mesh, axis_name, L, B)
+
+
+def _constrain_rows(x, mesh, axis_name):
+    """Row-shard a (n, m) carry over the mesh (no-op without a mesh)."""
+    if mesh is None or x.ndim < 2:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(axis_name, None))
+    )
 
 
 def _panel_solve_lower(Ljj, rhs):
@@ -178,7 +189,7 @@ def _panel_solve_lower(Ljj, rhs):
     return y + M @ (rhs - Ljj @ y)
 
 
-def _blocked_solve_lower_impl(L, B, block):
+def _blocked_solve_lower_impl(L, B, block, mesh=None, axis_name="shard"):
     """Fixed-shape loop body: one (block, n) row slab + one masked
     matmul per step; GSPMD handles the cross-shard slices."""
     n = L.shape[0]
@@ -195,13 +206,15 @@ def _blocked_solve_lower_impl(L, B, block):
         rhs_j = lax.dynamic_slice(Bm, (c0, 0), (block, m)) - Lr @ (y * done)
         Ljj = lax.dynamic_slice(Lr, (0, c0), (block, block))
         yj = _panel_solve_lower(Ljj, rhs_j)
-        return lax.dynamic_update_slice(y, yj, (c0, 0))
+        return _constrain_rows(
+            lax.dynamic_update_slice(y, yj, (c0, 0)), mesh, axis_name
+        )
 
     y = lax.fori_loop(0, nb, body, jnp.zeros_like(Bm))
     return y.reshape(-1) if squeeze else y
 
 
-def _blocked_solve_upper_t_impl(L, B, block):
+def _blocked_solve_upper_t_impl(L, B, block, mesh=None, axis_name="shard"):
     n = L.shape[0]
     nb = n // block
     squeeze = B.ndim == 1
@@ -228,26 +241,28 @@ def _blocked_solve_upper_t_impl(L, B, block):
             xj = xj + M.T @ (rhs_j - Ljj.T @ xj)
         else:
             xj = solve_triangular(Ljj.T, rhs_j, lower=False)
-        return lax.dynamic_update_slice(x, xj, (c0, 0))
+        return _constrain_rows(
+            lax.dynamic_update_slice(x, xj, (c0, 0)), mesh, axis_name
+        )
 
     x = lax.fori_loop(0, nb, body, jnp.zeros_like(Bm))
     return x.reshape(-1) if squeeze else x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _solve_lower_cvjp(block, L, B):
-    return _blocked_solve_lower_impl(L, B, block)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _solve_lower_cvjp(block, mesh, axis_name, L, B):
+    return _blocked_solve_lower_impl(L, B, block, mesh, axis_name)
 
 
-def _solve_lower_fwd(block, L, B):
-    y = _blocked_solve_lower_impl(L, B, block)
+def _solve_lower_fwd(block, mesh, axis_name, L, B):
+    y = _blocked_solve_lower_impl(L, B, block, mesh, axis_name)
     return y, (L, y)
 
 
-def _solve_lower_bwd(block, res, y_bar):
+def _solve_lower_bwd(block, mesh, axis_name, res, y_bar):
     # y = L^{-1} B:  B_bar = L^{-T} y_bar,  L_bar = -tril(B_bar y^T)
     L, y = res
-    B_bar = _blocked_solve_upper_t_impl(L, y_bar, block)
+    B_bar = _blocked_solve_upper_t_impl(L, y_bar, block, mesh, axis_name)
     ym = y.reshape(-1, 1) if y.ndim == 1 else y
     bm = B_bar.reshape(-1, 1) if B_bar.ndim == 1 else B_bar
     return -jnp.tril(bm @ ym.T), B_bar
@@ -256,20 +271,20 @@ def _solve_lower_bwd(block, res, y_bar):
 _solve_lower_cvjp.defvjp(_solve_lower_fwd, _solve_lower_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _solve_upper_t_cvjp(block, L, B):
-    return _blocked_solve_upper_t_impl(L, B, block)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _solve_upper_t_cvjp(block, mesh, axis_name, L, B):
+    return _blocked_solve_upper_t_impl(L, B, block, mesh, axis_name)
 
 
-def _solve_upper_t_fwd(block, L, B):
-    x = _blocked_solve_upper_t_impl(L, B, block)
+def _solve_upper_t_fwd(block, mesh, axis_name, L, B):
+    x = _blocked_solve_upper_t_impl(L, B, block, mesh, axis_name)
     return x, (L, x)
 
 
-def _solve_upper_t_bwd(block, res, x_bar):
+def _solve_upper_t_bwd(block, mesh, axis_name, res, x_bar):
     # x = L^{-T} B:  B_bar = L^{-1} x_bar,  L_bar = -tril(x B_bar^T)
     L, x = res
-    B_bar = _blocked_solve_lower_impl(L, x_bar, block)
+    B_bar = _blocked_solve_lower_impl(L, x_bar, block, mesh, axis_name)
     xm = x.reshape(-1, 1) if x.ndim == 1 else x
     bm = B_bar.reshape(-1, 1) if B_bar.ndim == 1 else B_bar
     return -jnp.tril(xm @ bm.T), B_bar
@@ -295,8 +310,9 @@ def _sharded_chol_bwd(mesh, axis_name, block, panel_impl, L, L_bar):
     L_bar = jnp.tril(L_bar)
     Pm = L.T @ L_bar
     Pm = jnp.tril(Pm) - 0.5 * jnp.diag(jnp.diag(Pm))
-    tmp = _blocked_solve_upper_t_impl(L, Pm.T, block)   # L^{-T} Pm^T
-    S = _blocked_solve_upper_t_impl(L, tmp.T, block)    # L^{-T} Pm L^{-1}
+    # (n, n) solves: keep the carries row-sharded over the mesh
+    tmp = _blocked_solve_upper_t_impl(L, Pm.T, block, mesh, axis_name)
+    S = _blocked_solve_upper_t_impl(L, tmp.T, block, mesh, axis_name)
     return (0.5 * (S + S.T),)
 
 
@@ -306,8 +322,10 @@ _sharded_chol_cvjp.defvjp(_sharded_chol_fwd, _sharded_chol_bwd)
 def sharded_cholesky_solve(K, B, mesh, axis_name="shard", block=256):
     """(K^{-1} B, L) with K row-sharded over the mesh."""
     L = sharded_cholesky(K, mesh, axis_name=axis_name, block=block)
-    y = blocked_solve_lower(L, B, block=block)
-    return blocked_solve_upper_t(L, y, block=block), L
+    y = blocked_solve_lower(L, B, block=block, mesh=mesh, axis_name=axis_name)
+    x = blocked_solve_upper_t(L, y, block=block, mesh=mesh,
+                              axis_name=axis_name)
+    return x, L
 
 
 def sharded_solve_and_logdet(K, B, mesh, axis_name="shard", block=256):
