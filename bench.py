@@ -84,8 +84,7 @@ print(json.dumps({"evals_per_sec": N_EVAL / dt}))
 
 def measure_baseline():
     try:
-        script = _BASELINE_SCRIPT % (N, D, P_SMOOTH, SEED, max(3, N_EVAL // 4),
-                                     NOISE_STD)
+        script = _BASELINE_SCRIPT % (N, D, P_SMOOTH, SEED, N_EVAL, NOISE_STD)
         out = subprocess.run(
             [sys.executable, "-c", script],
             capture_output=True, text=True, timeout=900,

@@ -143,6 +143,12 @@ class MetropolisHastings:
         if self.options.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
+            n_dev = self.options.mesh.shape[self.options.mesh_axis_name]
+            if self.n_chains % n_dev != 0:
+                raise ValueError(
+                    f"n_chains ({self.n_chains}) must be divisible by the "
+                    f"mesh axis size ({n_dev})"
+                )
             self._chain_sharding = NamedSharding(
                 self.options.mesh, PartitionSpec(self.options.mesh_axis_name)
             )

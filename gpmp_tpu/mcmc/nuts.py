@@ -24,7 +24,7 @@ between device calls, as in the reference.
 import math
 import time
 from dataclasses import dataclass, replace
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -61,6 +61,10 @@ class NUTSOptions:
     progress: bool = _DEFAULT_PROGRESS
     verbose: int = _DEFAULT_VERBOSE
     log_every: int = _DEFAULT_LOG_EVERY
+
+    # optional jax.sharding.Mesh: shard the chain axis across devices
+    mesh: Optional[Any] = None
+    mesh_axis_name: str = "chains"
 
     # dual averaging
     dual_averaging_gamma: float = 0.05
@@ -589,6 +593,19 @@ def nuts_sample(log_prob, q_init, num_samples,
     vlogprob = jax.jit(
         jax.vmap(lambda q: jnp.asarray(log_prob(q)).reshape(()))
     )
+    if opts.mesh is not None:
+        # shard the chain axis: each device runs chains/n_devices NUTS
+        # transitions locally (no reference counterpart, SURVEY.md 2.7)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _ndev = opts.mesh.shape[opts.mesh_axis_name]
+        if chains % _ndev != 0:
+            raise ValueError(
+                f"number of chains ({chains}) must be divisible by the "
+                f"mesh axis size ({_ndev})"
+            )
+        _cs = NamedSharding(opts.mesh, PartitionSpec(opts.mesh_axis_name))
+        q_init = jax.device_put(q_init, _cs)
 
     if opts.init_step_size is None:
         t0 = time.time()

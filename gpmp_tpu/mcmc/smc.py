@@ -103,6 +103,12 @@ class ParticlesSet:
         """Shard the particle axis over the mesh (identity without one)."""
         if self._particle_sharding is None:
             return a
+        n_dev = self.config.mesh.shape[self.config.mesh_axis_name]
+        if a.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"n particles ({a.shape[0]}) must be divisible by the mesh "
+                f"axis size ({n_dev})"
+            )
         return jax.device_put(a, self._particle_sharding)
 
     def _next_key(self):

@@ -270,6 +270,12 @@ def svgd_sample(log_prob, particles_initial=None, *, n_particles=None,
     if opts.mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
+        _ndev = opts.mesh.shape[opts.mesh_axis_name]
+        if particles.shape[0] % _ndev != 0:
+            raise ValueError(
+                f"n_particles ({particles.shape[0]}) must be divisible by "
+                f"the mesh axis size ({_ndev})"
+            )
         particles = jax.device_put(
             particles,
             NamedSharding(opts.mesh, PartitionSpec(opts.mesh_axis_name)),

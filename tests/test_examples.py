@@ -32,6 +32,7 @@ EXAMPLES = [
     "examples.gpmp_tpu_example22_1d_interpolation_variation_ml",
     "examples.gpmp_tpu_example23_1d_interpolation_posterior_sampling",
     "examples.gpmp_tpu_example30_dataloader",
+    "examples.gpmp_tpu_example40_sharded_large_n",
 ]
 
 # lighter budgets for the slow examples in CI
@@ -48,6 +49,8 @@ _KWARGS = {
         n_steps_total=600, burnin=300, num_samples=80, num_warmup=60
     ),
     "examples.gpmp_tpu_example30_dataloader": dict(ni=400, batch_size=100),
+    "examples.gpmp_tpu_example40_sharded_large_n": dict(n=512, nt=128,
+                                                        block=64),
 }
 
 

@@ -203,3 +203,14 @@ def test_samplers_accept_mesh_sharding(mesh):
     ps.set_logpdf(lambda x: -0.5 * jnp.sum(x**2, axis=-1))
     ps.reweight()
     assert np.isfinite(np.asarray(ps.w_tmp)).all()
+
+    from gpmp_tpu.mcmc.nuts import nuts_sample, NUTSOptions
+
+    nopts = NUTSOptions(num_warmup=150, seed=0, mesh=mesh,
+                        mesh_axis_name="shard", verbose=0, progress=False)
+    ns, _info = nuts_sample(
+        log_target, np.random.default_rng(2).normal(size=(8, 2)), 300,
+        options=nopts,
+    )
+    ns2 = np.asarray(ns).reshape(-1, 2)
+    np.testing.assert_allclose(ns2.std(axis=0), 1.0, atol=0.2)
