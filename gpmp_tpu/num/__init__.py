@@ -41,6 +41,12 @@ import jax
 if _config.dtype == "float64":
     jax.config.update("jax_enable_x64", True)
 
+# XLA:TPU lowers f32 matmuls to single-pass bf16 by DEFAULT (~3e-3 rel
+# err) -- enough to drift blocked factorizations non-PD and corrupt f32
+# gram/quadratic forms.  Force true-f32 matmuls; f64 is unaffected, and
+# users who want raw bf16 speed can reset this after import.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as _onp
 import jax.numpy as jnp
 from jax import lax
