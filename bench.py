@@ -82,21 +82,28 @@ print(json.dumps({"evals_per_sec": N_EVAL / dt}))
 """
 
 
-def measure_baseline():
-    try:
-        script = _BASELINE_SCRIPT % (N, D, P_SMOOTH, SEED, N_EVAL, NOISE_STD)
-        out = subprocess.run(
-            [sys.executable, "-c", script],
-            capture_output=True, text=True, timeout=900,
-        )
-        for line in out.stdout.strip().splitlines()[::-1]:
-            try:
-                return float(json.loads(line)["evals_per_sec"])
-            except Exception:
-                continue
-    except Exception:
-        pass
-    return None
+def measure_baseline(n_runs=3):
+    """Median of n_runs torch-CPU measurements (machine-load robust)."""
+    vals = []
+    script = _BASELINE_SCRIPT % (N, D, P_SMOOTH, SEED, N_EVAL, NOISE_STD)
+    for _ in range(n_runs):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True, text=True, timeout=900,
+            )
+            for line in out.stdout.strip().splitlines()[::-1]:
+                try:
+                    vals.append(float(json.loads(line)["evals_per_sec"]))
+                    break
+                except Exception:
+                    continue
+        except Exception:
+            continue
+    if not vals:
+        return None
+    vals.sort()
+    return vals[len(vals) // 2]
 
 
 def main():

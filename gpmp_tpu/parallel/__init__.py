@@ -26,6 +26,7 @@ from .likelihood import (
     sharded_negative_log_likelihood_zero_mean,
 )
 from .predict import sharded_predict, sharded_cross_covariance
+from .loo import sharded_loo
 
 __all__ = [
     "make_mesh",
@@ -44,4 +45,5 @@ __all__ = [
     "sharded_negative_log_likelihood_zero_mean",
     "sharded_predict",
     "sharded_cross_covariance",
+    "sharded_loo",
 ]

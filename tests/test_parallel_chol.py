@@ -214,3 +214,26 @@ def test_samplers_accept_mesh_sharding(mesh):
     )
     ns2 = np.asarray(ns).reshape(-1, 2)
     np.testing.assert_allclose(ns2.std(axis=0), 1.0, atol=0.2)
+
+
+def test_sharded_loo_matches_core(mesh, problem):
+    from gpmp_tpu.parallel import sharded_loo
+
+    model, xi, zi, p0 = problem
+    model.covparam = p0
+    zloo_sh, s2_sh, e_sh = sharded_loo(model, xi, zi, mesh, block=BLOCK)
+    zloo, s2, e = model.loo(xi, zi, convert_out=False)
+    np.testing.assert_allclose(np.asarray(zloo_sh), np.asarray(zloo),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2_sh), np.asarray(s2),
+                               rtol=1e-7, atol=1e-10)
+
+    import gpmp_tpu as gp
+
+    model_z = gp.Model(None, model.covariance, covparam=p0, meantype="zero")
+    zloo_sh, s2_sh, _ = sharded_loo(model_z, xi, zi, mesh, block=BLOCK)
+    zloo, s2, _ = model_z.loo(xi, zi, convert_out=False)
+    np.testing.assert_allclose(np.asarray(zloo_sh), np.asarray(zloo),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2_sh), np.asarray(s2),
+                               rtol=1e-7, atol=1e-10)
