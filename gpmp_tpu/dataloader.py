@@ -328,6 +328,24 @@ class DataLoader:
 # ======================================================================
 # Scalers
 # ======================================================================
+# auto-generate DataLoader.dataset_{x,z}_{stat} properties forwarding to
+# the underlying Dataset's reduction methods (reference dataloader.py:
+# 516-532): the property value is the dataset's bound method.
+for _stat in ("min", "max", "mean", "var", "std", "quantile", "median"):
+    for _field in ("x", "z"):
+        _method_name = f"{_field}_{_stat}"
+
+        def _make_property(method_name=_method_name):
+            @property
+            def prop(self):
+                return getattr(self.dataset, method_name)
+
+            return prop
+
+        setattr(DataLoader, f"dataset_{_field}_{_stat}",
+                _make_property())
+
+
 class Normalizer:
     """Standardize covariates to zero mean / unit variance."""
 

@@ -314,6 +314,64 @@ class MetropolisHastings:
         )
         return scaling * np.asarray(used_cov) + epsilon * np.eye(self.dim)
 
+    def default_prop_rnd(self, x, chain_idx):
+        """Random-walk proposal N(x, Cov_chain) (reference mh.py:298-305)."""
+        cov = self._get_cov_parameter(chain_idx)
+        return np.asarray(x) + np.asarray(
+            sample_multivariate_normal_with_jitter(
+                jnp.zeros(self.dim), jnp.asarray(cov)
+            )
+        )
+
+    def mhstep(self, x_current, chain_idx, log_target_x_current=None):
+        """Single host-level MH update for one chain (reference
+        mh.py:379-426).  The batched scan kernel is the production path;
+        this mirrors the reference's one-step API for parity/debugging.
+        Returns (x_next, accepted, log_target_next, log_target_current)."""
+        x_current = np.asarray(x_current)
+        if log_target_x_current is None or np.isnan(log_target_x_current):
+            log_target_x_current = float(
+                self._safe_log_target(jnp.asarray(x_current))
+            )
+        y = self.default_prop_rnd(x_current, chain_idx)
+        log_target_y = float(self._safe_log_target(jnp.asarray(y)))
+        log_a = log_target_y - log_target_x_current
+        u = max(float(np.random.default_rng().uniform()), 1e-300)
+        if math.log(u) < log_a:
+            return y, True, log_target_y, log_target_x_current
+        return x_current, False, log_target_x_current, log_target_x_current
+
+    def compute_empirical_covariance_whole_chain(self, burnin=None,
+                                                 pooled=False, n_pool=1):
+        """Empirical covariance(s) of post-burnin samples: one pooled
+        matrix or a list per chain group (reference mh.py:1197-1213)."""
+        if burnin is None:
+            burnin = self.burnin_period
+        if self.x is None:
+            raise ValueError("No samples yet.")
+        if pooled:
+            big = self.x[:, burnin:].reshape(-1, self.dim)
+            return np.cov(big.T, ddof=1).reshape(self.dim, self.dim)
+        x_pooled = self._get_pooled_samples(burnin, n_pool)
+        return [np.cov(x.T, ddof=1).reshape(self.dim, self.dim)
+                for x in x_pooled]
+
+    def recompute_all_chains_full_covariance(self, burnin=None, scaling=None,
+                                             epsilon=1e-6):
+        """Refresh every chain's proposal covariance from its post-burnin
+        samples (Haario; reference mh.py:1181-1194)."""
+        if burnin is None:
+            burnin = self.burnin_period
+        if self.x is None:
+            raise ValueError("No chain data available.")
+        for c in range(self.n_chains):
+            self.proposal_distribution_params[c] = (
+                self.update_proposal_covariance_from_samples(
+                    x_chain=self.x[c, burnin:], scaling=scaling,
+                    epsilon=epsilon
+                )
+            )
+
     def run_adaptive_Haario(self, n_block_size, epsilon=1e-6):
         """Haario covariance adaptation per chain group."""
         block_rates = self.run_samples(

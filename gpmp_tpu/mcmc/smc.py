@@ -111,6 +111,35 @@ class ParticlesSet:
             )
         return jax.device_put(a, self._particle_sharding)
 
+    # -- RNG helpers kept as static methods for reference parity
+    #    (reference smc.py:448-467); the batched device kernels below are
+    #    the production path.
+    @staticmethod
+    def rand(size, rng):
+        return rng.uniform(size=size)
+
+    @staticmethod
+    def multinomial_rvs(n, p, rng):
+        from scipy import stats
+
+        return gnp.asarray(
+            stats.multinomial.rvs(n=n, p=np.asarray(p), random_state=rng)
+        )
+
+    @staticmethod
+    def multivariate_normal_rvs(C, n, rng):
+        from scipy import stats
+
+        return gnp.asarray(
+            stats.multivariate_normal.rvs(cov=np.asarray(C), size=n,
+                                          random_state=rng)
+        )
+
+    @staticmethod
+    def randunif(dim, n, box, rng):
+        return gnp.asarray(qmc.scale(rng.uniform(size=(n, dim)),
+                                     box[0], box[1]))
+
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub

@@ -176,3 +176,21 @@ def test_as_stacked_batches_bridge():
     assert xb.shape == (4, 8, 2)
     assert zb.shape == (4, 8)
     np.testing.assert_allclose(np.asarray(xb).reshape(32, 2), x)
+
+
+def test_dataloader_dataset_stat_properties():
+    """dataset_{x,z}_{stat} properties forward to the Dataset reductions
+    (reference dataloader.py:516-532)."""
+    import numpy as np
+    from gpmp_tpu.dataloader import Dataset, DataLoader
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(50, 2))
+    z = rng.normal(size=50)
+    loader = DataLoader(Dataset(x, z), batch_size=10)
+    np.testing.assert_allclose(np.asarray(loader.dataset_x_mean()),
+                               x.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(float(loader.dataset_z_std()),
+                               z.std(ddof=1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(loader.dataset_x_min()),
+                               x.min(axis=0), rtol=1e-12)

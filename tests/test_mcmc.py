@@ -259,3 +259,49 @@ def test_sample_from_selection_criterion_svgd():
     p = np.asarray(particles)
     assert p.shape == (16, 2)
     assert np.isfinite(p).all()
+
+
+def test_mh_single_step_and_covariance_helpers():
+    """mhstep / default_prop_rnd / whole-chain covariance helpers
+    (reference mh.py:298-426, 1181-1213)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gpmp_tpu.mcmc.mh import MetropolisHastings, MHOptions
+
+    def log_target(x):
+        return -0.5 * jnp.sum(x**2)
+
+    opts = MHOptions(dim=2, n_chains=4, seed=0, init_msg=None)
+    mh = MetropolisHastings(log_target, options=opts)
+    mh.proposal_distribution_params = (
+        mh._initialize_proposal_distribution_params(
+            mh.options.proposal_distribution_param_init
+        )
+    )
+    x0 = np.zeros(2)
+    xn, acc, lt_n, lt_c = mh.mhstep(x0, 0)
+    assert np.isfinite(lt_n) and isinstance(acc, (bool, np.bool_))
+    y = mh.default_prop_rnd(x0, 0)
+    assert y.shape == (2,)
+
+    mh.scheduler(np.zeros((4, 2)), burnin_period=100, n_steps_total=300)
+    C = mh.compute_empirical_covariance_whole_chain(pooled=True)
+    assert C.shape == (2, 2) and np.all(np.isfinite(C))
+    covs = mh.compute_empirical_covariance_whole_chain(pooled=False, n_pool=2)
+    assert len(covs) == 2
+    mh.recompute_all_chains_full_covariance()
+    assert len(mh.proposal_distribution_params) == 4
+
+
+def test_particles_set_rng_statics():
+    import numpy as np
+    from gpmp_tpu.mcmc.smc import ParticlesSet
+
+    rng = np.random.default_rng(0)
+    assert ParticlesSet.rand((3, 2), rng).shape == (3, 2)
+    counts = np.asarray(ParticlesSet.multinomial_rvs(10, [0.5, 0.5], rng))
+    assert counts.sum() == 10
+    s = np.asarray(ParticlesSet.multivariate_normal_rvs(np.eye(2), 5, rng))
+    assert s.shape == (5, 2)
+    u = np.asarray(ParticlesSet.randunif(2, 7, [[0, 0], [1, 2]], rng))
+    assert u.shape == (7, 2) and u[:, 1].max() <= 2.0
