@@ -65,6 +65,12 @@ class NUTSOptions:
     # optional jax.sharding.Mesh: shard the chain axis across devices
     mesh: Optional[Any] = None
     mesh_axis_name: str = "chains"
+    # post-warmup sampling as one lax.scan program: True / False / None
+    # (None = auto: scan when num_samples >= scan_sampling_threshold --
+    # the scan saves one host round-trip per step but costs one extra
+    # compilation, which only pays off for long runs)
+    scan_sampling: Optional[bool] = None
+    scan_sampling_threshold: int = 200
 
     # dual averaging
     dual_averaging_gamma: float = 0.05
@@ -734,31 +740,61 @@ def nuts_sample(log_prob, q_init, num_samples,
 
     logger.log("sample: start")
     t_samp0 = time.time()
-    for t in range(num_samples):
+    use_scan = opts.scan_sampling
+    if use_scan is None:
+        use_scan = num_samples >= int(opts.scan_sampling_threshold)
+    if use_scan:
+        # post-warmup phase: eps and mass are frozen, so the whole
+        # sampling run is one scanned device program (one dispatch
+        # instead of num_samples host round-trips -- the reference loops
+        # in Python, nuts.py:1045-1111).  Costs one extra compilation,
+        # hence the threshold.
         master_key, sub = jax.random.split(master_key)
-        chain_keys = jax.random.split(sub, chains)
-        q, a, nlf, depth, div = vtrans(
-            chain_keys, q, jnp.asarray(step_size), jnp.asarray(inv_mass_diag),
-            jnp.asarray(delta_max),
+        step_keys = jax.random.split(sub, num_samples * chains).reshape(
+            num_samples, chains, 2
         )
-        samples[t] = np.asarray(q)
-        accept[t] = np.asarray(a)
-        divergent[t] = np.asarray(div)
-        tree_depth[t] = np.asarray(depth)
-        n_leapfrog[t] = np.asarray(nlf)
-        log_target[t] = np.asarray(vlogprob(q))
 
-        do_log = ((t + 1) % max(1, log_every) == 0) or t == 0 or (
-            t + 1 == num_samples
+        @jax.jit
+        def _sample_scan(q0, keys, eps, imd, dmax):
+            def body(q, keys_t):
+                q1, a, nlf, depth, div = jax.vmap(
+                    transition, in_axes=(0, 0, None, None, None)
+                )(keys_t, q, eps, imd, dmax)
+                lp = jax.vmap(
+                    lambda qq: jnp.asarray(log_prob(qq)).reshape(())
+                )(q1)
+                return q1, (q1, a, nlf, depth, div, lp)
+
+            return lax.scan(body, q0, keys)
+
+        q, (qs, a_s, nlf_s, depth_s, div_s, lp_s) = _sample_scan(
+            q, step_keys, jnp.asarray(step_size),
+            jnp.asarray(inv_mass_diag), jnp.asarray(delta_max),
         )
-        if int(opts.verbose) >= 2:
-            do_log = ((t + 1) % max(1, log_every // 5) == 0) or do_log
-        if do_log:
-            logger.log(
-                f"sample iter {t + 1}/{num_samples}: "
-                f"mean_accept={float(np.mean(accept[t])):.3f}, "
-                f"div_rate={float(np.mean(divergent[t])):.3f}"
+        samples[:] = np.asarray(qs)
+        accept[:] = np.asarray(a_s)
+        divergent[:] = np.asarray(div_s)
+        tree_depth[:] = np.asarray(depth_s)
+        n_leapfrog[:] = np.asarray(nlf_s)
+        log_target[:] = np.asarray(lp_s)
+    else:
+        for t in range(num_samples):
+            master_key, sub = jax.random.split(master_key)
+            chain_keys = jax.random.split(sub, chains)
+            q, a, nlf, depth, div = vtrans(
+                chain_keys, q, jnp.asarray(step_size),
+                jnp.asarray(inv_mass_diag), jnp.asarray(delta_max),
             )
+            samples[t] = np.asarray(q)
+            accept[t] = np.asarray(a)
+            divergent[t] = np.asarray(div)
+            tree_depth[t] = np.asarray(depth)
+            n_leapfrog[t] = np.asarray(nlf)
+            log_target[t] = np.asarray(vlogprob(q))
+    logger.log(
+        f"sample: mean_accept={float(np.mean(accept)):.3f}, "
+        f"div_rate={float(np.mean(divergent)):.3f}"
+    )
     logger.log(f"sample: done in {time.time() - t_samp0:.2f}s")
 
     info = {
