@@ -55,6 +55,10 @@ class ParticlesSetConfig:
 class SMCConfig:
     compute_next_logpdf_param_method: str = "p0"  # or "ess"
     mh_steps: int = 20
+    # run the (mh_steps - 1) extra sweeps as one scanned device program
+    # (one dispatch per stage instead of one per sweep); False restores
+    # the per-sweep proposal-covariance refresh
+    blocked_moves: bool = True
     mh_acceptation_rate_min: float = 0.15
     mh_acceptation_rate_max: float = 0.30
     mh_adjustment_factor: float = 1.4
@@ -165,12 +169,18 @@ class ParticlesSet:
 
     def set_logpdf(self, logpdf_function):
         self.logpdf_function = logpdf_function
+        self._logpdf_param_fn = None
+        self._logpdf_param = None
 
     def set_logpdf_with_parameter(self, logpdf_parameterized_function, param):
         def logpdf(x):
             return logpdf_parameterized_function(x, param)
 
         self.logpdf_function = logpdf
+        # kept separately so jitted move blocks can trace the parameter
+        # instead of recompiling per tempering stage
+        self._logpdf_param_fn = logpdf_parameterized_function
+        self._logpdf_param = param
 
     # ------------------------------------------------------------- weights
     def reweight(self, update_logpx_and_w=True):
@@ -301,6 +311,94 @@ class ParticlesSet:
                                 dtype=self.x.dtype) @ jnp.asarray(L).T
         return self.x + eps
 
+    def _proposal_chol(self):
+        """Cholesky factor of param_s * Cov(x) with the same jitter
+        escalation as perturb(); host-side, called once per move block."""
+        lower = self.config.param_s_lower_bound
+        upper = self.config.param_s_upper_bound
+        if self.param_s > upper or self.param_s < lower:
+            raise ParticlesSetError(self.param_s, lower, upper)
+        if self.config.covariance_method == "knn":
+            base_cov = knn_cov.estimate_cov_matrix_knn(
+                self.x,
+                n_random=self.config.covariance_knn_n_random,
+                n_neighbors=self.config.covariance_knn_n_neighbors,
+                rng=self.rng,
+            )
+        else:
+            base_cov = knn_cov.estimate_cov_matrix(self.x)
+        C = self.param_s * np.asarray(base_cov).reshape(self.dim, self.dim)
+        jitter = 0.0
+        for _ in range(self.config.jitter_max_iterations + 1):
+            C_try = C if jitter == 0.0 else C + jitter * np.eye(self.dim)
+            L_try = (np.linalg.cholesky(C_try)
+                     if np.all(np.isfinite(C_try)) else None)
+            if L_try is not None and np.all(np.isfinite(L_try)):
+                return L_try
+            jitter = (self.config.jitter_initial_value if jitter == 0.0
+                      else 10.0 * jitter)
+        raise RuntimeError("Covariance matrix might still be non-PSD.")
+
+    def move_block(self, n_sweeps):
+        """n_sweeps vectorized MH sweeps as ONE scanned device program.
+
+        The proposal covariance factor is computed once for the block
+        (the per-sweep refresh of move() is a tuning detail, not a
+        correctness requirement -- each sweep is a valid MH kernel for
+        the current target).  Saves n_sweeps - 1 host round-trips per
+        SMC stage.  Returns the mean acceptance rate over the block.
+        """
+        if n_sweeps <= 0:
+            return 0.0
+        L = jnp.asarray(self._proposal_chol())
+        keys = jax.random.split(self._next_key(), n_sweeps)
+
+        # compile once per (parameterized) target function: the tempering
+        # parameter and the proposal factor are traced arguments, so
+        # successive SMC stages reuse the same executable
+        fn = getattr(self, "_logpdf_param_fn", None)
+        cache_key = fn if fn is not None else self.logpdf_function
+        if getattr(self, "_move_block_key", None) is not cache_key:
+            if fn is not None:
+                def _logp(y, param):
+                    return jnp.asarray(fn(y, param)).reshape(-1)
+            else:
+                target = self.logpdf_function
+
+                def _logp(y, param):
+                    return jnp.asarray(target(y)).reshape(-1)
+
+            @jax.jit
+            def block(x0, logpx0, keys, L, param):
+                def sweep(carry, key):
+                    x, logpx = carry
+                    k_eps, k_u = jax.random.split(key)
+                    y = x + jax.random.normal(
+                        k_eps, x.shape, dtype=x.dtype
+                    ) @ L.T
+                    logpy = _logp(y, param)
+                    u = jax.random.uniform(k_u, (x.shape[0],),
+                                           dtype=x.dtype)
+                    accept = jnp.log(jnp.maximum(u, 1e-300)) < (
+                        logpy - logpx
+                    )
+                    x = jnp.where(accept[:, None], y, x)
+                    logpx = jnp.where(accept, logpy, logpx)
+                    return (x, logpx), jnp.mean(accept.astype(x.dtype))
+
+                (x, logpx), rates = jax.lax.scan(sweep, (x0, logpx0), keys)
+                return x, logpx, rates
+
+            self._move_block_jit = block
+            self._move_block_key = cache_key
+
+        param = getattr(self, "_logpdf_param", None)
+        param_arg = jnp.asarray(0.0) if param is None else jnp.asarray(param)
+        self.x, self.logpx, rates = self._move_block_jit(
+            self.x, self.logpx, keys, L, param_arg
+        )
+        return float(jnp.mean(rates))
+
     def move(self):
         """One vectorized MH sweep over all particles; returns the
         acceptance rate."""
@@ -406,15 +504,26 @@ class SMC:
                 f"Now doing additional MH steps "
                 f"({self.smc_config.mh_steps - 1} moves)..."
             )
-        for i in range(self.smc_config.mh_steps - 1):
-            acceptation_rate = self.particles.move()
+        n_extra = self.smc_config.mh_steps - 1
+        if self.smc_config.blocked_moves and n_extra > 0:
+            acceptation_rate = self.particles.move_block(n_extra)
             self.update_log(
                 acceptation_rate=acceptation_rate,
                 state=(
-                    f"Additional move {i + 1}/{self.smc_config.mh_steps - 1} "
-                    f"with acceptation rate {acceptation_rate:.2f}"
+                    f"Additional moves x{n_extra} (scanned block) "
+                    f"with mean acceptation rate {acceptation_rate:.2f}"
                 ),
             )
+        else:
+            for i in range(n_extra):
+                acceptation_rate = self.particles.move()
+                self.update_log(
+                    acceptation_rate=acceptation_rate,
+                    state=(
+                        f"Additional move {i + 1}/{n_extra} "
+                        f"with acceptation rate {acceptation_rate:.2f}"
+                    ),
+                )
         self.log_snapshot()
         if debug_plot:
             self.plot_particles()
