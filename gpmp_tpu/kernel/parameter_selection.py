@@ -14,6 +14,9 @@ import time
 import numpy as np
 from scipy.optimize import minimize
 
+import jax
+import jax.numpy as jnp
+
 import gpmp_tpu.num as gnp
 from .init import (
     anisotropic_parameters_initial_guess,
@@ -90,12 +93,27 @@ def autoselect_parameters(
     method="SLSQP",
     method_options=None,
 ):
-    """Minimize a scalar criterion with SciPy on the host.
+    """Minimize a scalar criterion.
 
+    method='SLSQP' / 'L-BFGS-B': SciPy on the host --
     - automatic local bounds p0 +- bounds_delta clipped to [-500, 500];
     - full history recording (params + criterion values);
     - best-seen fallback when the final SciPy iterate is worse;
     - linalg failures map to +inf so optimization continues.
+
+    method='lbfgs-device': the fit runs on the accelerator as jitted
+    lax.while_loop chunks (optax.lbfgs + zoom linesearch, projected
+    onto the box after each update; chunking bounds single-program
+    runtime below device-worker execution limits).  One host round-trip
+    per chunk_size iterations instead of one per iteration.  The
+    reference has no equivalent (its fits are SciPy-loop-bound,
+    parameter_selection.py:253-260).  Requires ``criterion`` to be (or
+    be recoverable as) a jax-traceable function; history is not
+    recorded.  NOTE: pays one large XLA compilation of the full
+    optimizer graph -- worthwhile for repeated fits (compilation
+    cache) or directly-attached accelerators; for one-shot fits
+    through a remote-compile tunnel the SciPy path is faster.
+
     Returns (p_opt, OptimizeResult-or-None).
     """
     if method_options is None:
@@ -111,6 +129,12 @@ def autoselect_parameters(
             )
             for param in np.asarray(p0)
         ]
+
+    if method == "lbfgs-device":
+        return _autoselect_parameters_on_device(
+            p0, criterion, bounds, info=info,
+            method_options=method_options, tic=tic
+        )
 
     history_params, history_criterion = [], []
     best_params, best_criterion = None, float("inf")
@@ -172,6 +196,123 @@ def autoselect_parameters(
     r.selection_criterion = criterion
     r.total_time = time.time() - tic
 
+    return (r.x, r) if info else (r.x, None)
+
+
+def _traceable_criterion(criterion):
+    """Recover theta -> J(theta) as a jax-traceable function from a
+    DifferentiableSelectionCriterion bound method (same recovery as
+    mcmc/param_posterior.py)."""
+    wrapper = getattr(criterion, "__self__", None)
+    if wrapper is not None and hasattr(wrapper, "crit") and hasattr(
+        wrapper, "x"
+    ):
+        fn, x, z = wrapper.crit, wrapper.x, wrapper.z
+        return lambda p: jnp.asarray(fn(p, x, z)).reshape(())
+    return lambda p: jnp.asarray(criterion(p)).reshape(())
+
+
+def _autoselect_parameters_on_device(p0, criterion, bounds, info=False,
+                                     method_options=None, tic=None):
+    """Whole L-BFGS fit as one device program (see autoselect_parameters
+    method='lbfgs-device')."""
+    import optax
+    import optax.tree_utils as otu
+
+    # the loop runs in chunks of chunk_size iterations per dispatch:
+    # one long single program can exceed device-worker execution limits
+    # (observed: TPU worker crash beyond ~50-200 iterations of an
+    # n=1000 REML graph), while per-iteration dispatch would pay one
+    # host round-trip per L-BFGS step.  The optimizer state crosses the
+    # host boundary between chunks; convergence is checked per chunk.
+    opts = dict(maxiter=200, gtol=1e-5, ftol=1e-6, memory_size=20,
+                chunk_size=25)
+    opts.update(method_options or {})
+    fun = _traceable_criterion(criterion)
+    p0 = jnp.asarray(np.asarray(p0, dtype=float))
+    if bounds is not None:
+        lb = jnp.asarray([b[0] for b in bounds], dtype=p0.dtype)
+        ub = jnp.asarray([b[1] for b in bounds], dtype=p0.dtype)
+    else:
+        lb = ub = None
+
+    opt = optax.lbfgs(memory_size=int(opts["memory_size"]))
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    def step(carry):
+        params, state = carry
+        value, grad = value_and_grad(params, state=state)
+        updates, state = opt.update(
+            grad, state, params, value=value, grad=grad, value_fn=fun
+        )
+        params = optax.apply_updates(params, updates)
+        if lb is not None:
+            params = jnp.clip(params, lb, ub)
+        return params, state
+
+    gtol = float(opts["gtol"])
+
+    @jax.jit
+    def run_chunk(params, state, chunk_end):
+        def continuing(carry):
+            _, st = carry
+            count = otu.tree_get(st, "count")
+            grad = otu.tree_get(st, "grad")
+            err = otu.tree_l2_norm(grad)
+            return (count == 0) | (
+                (count < chunk_end) & (err >= gtol) & jnp.isfinite(err)
+            )
+
+        return jax.lax.while_loop(continuing, step, (params, state))
+
+    params, state = p0, opt.init(p0)
+    maxiter = int(opts["maxiter"])
+    chunk = max(1, int(opts["chunk_size"]))
+    ftol = float(opts["ftol"])
+    n_iter = 0
+    prev_value = None
+    for chunk_end in range(chunk, maxiter + chunk, chunk):
+        chunk_end = min(chunk_end, maxiter)
+        params, state = run_chunk(
+            params, state, jnp.asarray(chunk_end)
+        )
+        n_iter = int(otu.tree_get(state, "count"))
+        err = float(otu.tree_l2_norm(otu.tree_get(state, "grad")))
+        value = float(otu.tree_get(state, "value"))
+        if n_iter < chunk_end or not np.isfinite(err) or err < gtol:
+            break
+        # SciPy-style relative-improvement stop across chunk boundaries
+        if prev_value is not None and np.isfinite(value):
+            if (prev_value - value) <= ftol * chunk * max(
+                abs(value), abs(prev_value), 1.0
+            ):
+                break
+        prev_value = value
+        if chunk_end >= maxiter:
+            break
+
+    x = params
+    x = np.asarray(x)
+    J0 = float(fun(jnp.asarray(np.asarray(p0))))
+    Jx = float(fun(jnp.asarray(x)))
+    best_value_returned = True
+    if not np.isfinite(Jx) or Jx > J0:
+        x, Jx, best_value_returned = np.asarray(p0), J0, False
+
+    from scipy.optimize import OptimizeResult
+
+    r = OptimizeResult(
+        x=x, fun=Jx, nit=int(n_iter), success=bool(np.isfinite(Jx)),
+        message="lbfgs-device",
+    )
+    r.best_value_returned = best_value_returned
+    r.history_params = [np.asarray(p0), x]
+    r.history_criterion = [J0, Jx]
+    r.initial_params = np.asarray(p0)
+    r.final_params = x
+    r.bounds = bounds
+    r.selection_criterion = criterion
+    r.total_time = time.time() - (tic if tic is not None else time.time())
     return (r.x, r) if info else (r.x, None)
 
 

@@ -113,3 +113,50 @@ def test_selection_criterion_callables_in_info():
     v1 = info["selection_criterion"](p)
     v2 = info["selection_criterion_nograd"](p)
     np.testing.assert_allclose(v1, v2, rtol=1e-10)
+
+
+def test_autoselect_lbfgs_device_matches_scipy():
+    """method='lbfgs-device' (whole fit as one jitted while_loop,
+    optax.lbfgs) reaches the same optimum as the SciPy path."""
+    import numpy as np
+    import gpmp_tpu as gp
+    import gpmp_tpu.num as gnp
+
+    rng = np.random.default_rng(3)
+    xi = gnp.asarray(rng.uniform(size=(120, 2)))
+    zi = gnp.asarray(np.sin(3 * np.asarray(xi[:, 0]))
+                     + 0.1 * rng.normal(size=120))
+
+    def mean(x, p):
+        return gnp.ones((x.shape[0], 1))
+
+    def kernel(x, y, p, pairwise=False):
+        s2 = gnp.exp(p[0])
+        noise = gnp.exp(p[1])
+        li = p[2:]
+        if y is x or y is None:
+            if pairwise:
+                return (s2 + noise) * gnp.ones((x.shape[0],))
+            K = gnp.scaled_distance(li, x, x)
+            return s2 * gp.kernel.maternp_kernel(2, K) + noise * gnp.eye(
+                K.shape[0]
+            )
+        K = (gnp.scaled_distance_elementwise if pairwise
+             else gnp.scaled_distance)(li, x, y)
+        return s2 * gp.kernel.maternp_kernel(2, K)
+
+    model = gp.Model(mean, kernel)
+    crit, crit_pre, crit_ng, grad = (
+        gp.kernel.make_selection_criterion_with_gradient(
+            model, gp.kernel.negative_log_restricted_likelihood, xi, zi
+        )
+    )
+    p0 = np.array([0.0, np.log(0.01), 0.0, 0.0])
+    x_dev, r_dev = gp.kernel.autoselect_parameters(
+        p0, crit_pre, grad, method="lbfgs-device", info=True
+    )
+    x_sci, r_sci = gp.kernel.autoselect_parameters(
+        p0, crit_pre, grad, method="L-BFGS-B", info=True
+    )
+    assert abs(r_dev.fun - r_sci.fun) < 1e-2 * max(1.0, abs(r_sci.fun))
+    assert r_dev.best_value_returned
