@@ -160,12 +160,13 @@ def autoselect_parameters(
     def gradient_np(p):
         return np.asarray(gradient(p), dtype=float)
 
-    options = {"disp": not silent}
+    options = {} if method == "L-BFGS-B" else {"disp": not silent}
     if method == "L-BFGS-B":
+        # scipy >= 1.15 deprecates disp/iprint for L-BFGS-B
         options.update(
             dict(
                 maxcor=20, ftol=1e-6, gtol=1e-5, eps=1e-8,
-                maxfun=15000, maxiter=15000, maxls=40, iprint=-1,
+                maxfun=15000, maxiter=15000, maxls=40,
             )
         )
     elif method == "SLSQP":
@@ -258,7 +259,7 @@ def _autoselect_parameters_on_device(p0, criterion, bounds, info=False,
             _, st = carry
             count = otu.tree_get(st, "count")
             grad = otu.tree_get(st, "grad")
-            err = otu.tree_l2_norm(grad)
+            err = otu.tree_norm(grad)
             return (count == 0) | (
                 (count < chunk_end) & (err >= gtol) & jnp.isfinite(err)
             )
@@ -277,7 +278,7 @@ def _autoselect_parameters_on_device(p0, criterion, bounds, info=False,
             params, state, jnp.asarray(chunk_end)
         )
         n_iter = int(otu.tree_get(state, "count"))
-        err = float(otu.tree_l2_norm(otu.tree_get(state, "grad")))
+        err = float(otu.tree_norm(otu.tree_get(state, "grad")))
         value = float(otu.tree_get(state, "value"))
         if n_iter < chunk_end or not np.isfinite(err) or err < gtol:
             break
