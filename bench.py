@@ -107,6 +107,20 @@ def measure_baseline(n_runs=3):
 
 
 def main():
+    for attempt in range(3):
+        try:
+            return _run()
+        except Exception as e:
+            sys.stderr.write(f"bench attempt {attempt + 1} failed: {e}\n")
+            time.sleep(20)
+    # last resort: never leave the driver without a JSON line
+    print(json.dumps({
+        "metric": "noisy_reml_nll_grad_evals_per_sec_n1000_d6_f64",
+        "value": 0.0, "unit": "evals/s", "vs_baseline": None,
+    }))
+
+
+def _run():
     import numpy as np
     import jax
 
