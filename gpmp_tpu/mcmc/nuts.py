@@ -71,6 +71,11 @@ class NUTSOptions:
     # compilation, which only pays off for long runs)
     scan_sampling: Optional[bool] = None
     scan_sampling_threshold: int = 200
+    # warmup in scanned chunks (dual averaging + Welford in-graph,
+    # window boundaries host-side): same auto rule
+    scan_warmup: Optional[bool] = None
+    scan_warmup_threshold: int = 300
+    scan_warmup_chunk: int = 200
 
     # dual averaging
     dual_averaging_gamma: float = 0.05
@@ -664,7 +669,139 @@ def nuts_sample(log_prob, q_init, num_samples,
     logger.log("warmup: start")
     t_warm0 = time.time()
 
-    for t in range(num_warmup):
+    use_scan_warmup = opts.scan_warmup
+    if use_scan_warmup is None:
+        use_scan_warmup = num_warmup >= int(opts.scan_warmup_threshold)
+
+    if use_scan_warmup:
+        # in-graph exact mirrors of DualAveragingState.update and the
+        # sequential-over-chains Welford update; chunks are cut at mass
+        # window boundaries so the in-window flag is static per chunk,
+        # and capped at scan_warmup_chunk steps per dispatch
+        def _warmup_chunk_fn(in_window):
+            g = float(opts.dual_averaging_gamma)
+            t0c = float(opts.dual_averaging_t0)
+            kap = float(opts.dual_averaging_kappa)
+
+            @jax.jit
+            def chunk(q0, keys, mu, da_state, w_state, imd, dmax):
+                def body(carry, keys_t):
+                    q, log_eps, log_eps_bar, h_bar, tda, wn, wmean, wm2 = carry
+                    eps = jnp.clip(jnp.exp(log_eps), eps_min, eps_max)
+                    q1, a, nlf, depth, div = jax.vmap(
+                        transition, in_axes=(0, 0, None, None, None)
+                    )(keys_t, q, eps, imd, dmax)
+                    lp = jax.vmap(
+                        lambda qq: jnp.asarray(log_prob(qq)).reshape(())
+                    )(q1)
+                    mean_accept = jnp.mean(a)
+                    tda = tda + 1.0
+                    eta = 1.0 / (tda + t0c)
+                    h_bar = (1.0 - eta) * h_bar + eta * (
+                        target_accept - mean_accept
+                    )
+                    log_eps = mu - (jnp.sqrt(tda) / g) * h_bar
+                    w = tda ** (-kap)
+                    log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+                    if in_window:
+                        def wf(i, s):
+                            n, m, m2 = s
+                            n = n + 1.0
+                            delta = q1[i] - m
+                            m = m + delta / n
+                            m2 = m2 + delta * (q1[i] - m)
+                            return n, m, m2
+
+                        wn, wmean, wm2 = lax.fori_loop(
+                            0, q1.shape[0], wf, (wn, wmean, wm2)
+                        )
+                    carry = (q1, log_eps, log_eps_bar, h_bar, tda, wn,
+                             wmean, wm2)
+                    return carry, (a, nlf, depth, div, lp, eps)
+
+                carry0 = (q0,) + da_state + w_state
+                carry, out = lax.scan(body, carry0, keys)
+                return carry, out
+
+            return chunk
+
+        _warmup_chunks = {
+            True: _warmup_chunk_fn(True), False: _warmup_chunk_fn(False)
+        }
+        # segment [0, num_warmup) at window starts/ends, cap chunk length
+        cuts = {0, num_warmup}
+        for s, e in windows:
+            cuts.add(min(s, num_warmup))
+            cuts.add(min(e, num_warmup))
+        cuts = sorted(cuts)
+        segments = []
+        cap = max(1, int(opts.scan_warmup_chunk))
+        for a0, b0 in zip(cuts[:-1], cuts[1:]):
+            t = a0
+            while t < b0:
+                segments.append((t, min(t + cap, b0)))
+                t = min(t + cap, b0)
+
+        for (seg_a, seg_b) in segments:
+            L = seg_b - seg_a
+            in_window = any(s <= seg_a < e for s, e in windows)
+            master_key, sub = jax.random.split(master_key)
+            keys = jax.random.split(sub, L * chains).reshape(L, chains, 2)
+            da_state = (jnp.asarray(da.log_eps), jnp.asarray(da.log_eps_bar),
+                        jnp.asarray(da.h_bar), jnp.asarray(float(da.t)))
+            w_state = (jnp.asarray(float(rv.n)), jnp.asarray(rv.mean),
+                       jnp.asarray(rv.m2))
+            carry, (a_s, nlf_s, depth_s, div_s, lp_s, eps_s) = (
+                _warmup_chunks[in_window](
+                    q, keys, jnp.asarray(da.mu), da_state, w_state,
+                    jnp.asarray(inv_mass_diag), jnp.asarray(delta_max),
+                )
+            )
+            (q, log_eps, log_eps_bar, h_bar, tda, wn, wmean, wm2) = carry
+            da.log_eps = float(log_eps)
+            da.log_eps_bar = float(log_eps_bar)
+            da.h_bar = float(h_bar)
+            da.t = int(tda)
+            rv.n = int(wn)
+            rv.mean = np.asarray(wmean)
+            rv.m2 = np.asarray(wm2)
+            step_size = _clamp(math.exp(da.log_eps))
+            warmup_accept[seg_a:seg_b] = np.asarray(a_s)
+            warmup_div[seg_a:seg_b] = np.asarray(div_s)
+            warmup_depth[seg_a:seg_b] = np.asarray(depth_s)
+            warmup_nlf[seg_a:seg_b] = np.asarray(nlf_s)
+            warmup_log_target[seg_a:seg_b] = np.asarray(lp_s)
+            warmup_eps[seg_a:seg_b] = np.asarray(eps_s)
+            if seg_b in window_end_set:
+                old_mean = float(np.mean(mass_diag))
+                mass_diag = np.clip(rv.var(), jitter, None)
+                inv_mass_diag = 1.0 / mass_diag
+                logger.log(
+                    f"warmup iter {seg_b}: mass update at window end; "
+                    f"mean(mass_diag) {old_mean:.6g} -> "
+                    f"{float(np.mean(mass_diag)):.6g}"
+                )
+                rv = RunningDiagVar(dim)
+                mu_ref = max(
+                    eps_min,
+                    float(opts.dual_averaging_mu_factor) * step_size,
+                )
+                da = DualAveragingState(
+                    mu=math.log(mu_ref), log_eps=math.log(step_size),
+                    log_eps_bar=math.log(step_size), h_bar=0.0, t=0,
+                )
+                logger.log(
+                    f"warmup iter {seg_b}: dual averaging restart; "
+                    f"eps={step_size:.6g}"
+                )
+            logger.log(
+                f"warmup chunk [{seg_a}, {seg_b}): eps={step_size:.6g}, "
+                f"mean_accept="
+                f"{float(np.mean(warmup_accept[seg_a:seg_b])):.3f}"
+            )
+    num_warmup_loop = 0 if use_scan_warmup else num_warmup
+
+    for t in range(num_warmup_loop):
         master_key, sub = jax.random.split(master_key)
         chain_keys = jax.random.split(sub, chains)
         q, a, nlf, depth, div = vtrans(
