@@ -25,7 +25,12 @@ from .likelihood import (
     sharded_negative_log_restricted_likelihood,
     sharded_negative_log_likelihood_zero_mean,
 )
-from .predict import sharded_predict, sharded_cross_covariance
+from .predict import (
+    sharded_predict,
+    sharded_cross_covariance,
+    sharded_kriging_weights,
+    sharded_sample_paths,
+)
 from .loo import sharded_loo
 
 __all__ = [
@@ -46,4 +51,6 @@ __all__ = [
     "sharded_predict",
     "sharded_cross_covariance",
     "sharded_loo",
+    "sharded_kriging_weights",
+    "sharded_sample_paths",
 ]

@@ -43,6 +43,63 @@ def sharded_cross_covariance(model, covparam, xi, xt, mesh, axis_name="shard"):
     )
 
 
+def sharded_kriging_weights(model, xi, xt, mesh, axis_name="shard",
+                            block=256):
+    """Kriging weights lambda_t (n, nt) with K row-sharded: feed these to
+    core.sample_paths.conditional_sample_paths for large-n conditional
+    simulation (reference workflow: kriging.py return_type=-1 +
+    sample_paths.py:66-119)."""
+    xi = gnp.asarray(xi)
+    xt = gnp.asarray(xt)
+    covparam = model.covparam
+    K = sharded_covariance(model, covparam, xi, mesh, axis_name=axis_name)
+    Kit = sharded_cross_covariance(model, covparam, xi, xt, mesh,
+                                   axis_name=axis_name)
+    L = sharded_cholesky(K, mesh, axis_name=axis_name, block=block)
+
+    def ksolve(B):
+        y = blocked_solve_lower(L, B, block=block, mesh=mesh,
+                                axis_name=axis_name)
+        return blocked_solve_upper_t(L, y, block=block, mesh=mesh,
+                                     axis_name=axis_name)
+
+    if model.meantype in ("zero", "parameterized"):
+        return ksolve(Kit)
+    if model.meantype != "linear_predictor":
+        raise ValueError(f"Invalid meantype {model.meantype}.")
+    Pd = model.mean(xi, model.meanparam)
+    Pt = model.mean(xt, model.meanparam)
+    rhs = jnp.concatenate([Kit, Pd], axis=1)
+    X = ksolve(rhs)
+    Kinv_Kit = X[:, : Kit.shape[1]]
+    Kinv_P = X[:, Kit.shape[1]:]
+    M = Pd.T @ Kinv_P
+    Cm = jnp.linalg.cholesky(M)
+    resid = Pd.T @ Kinv_Kit - Pt.T
+    mu = gnp.solve_triangular(
+        Cm.T, gnp.solve_triangular(Cm, resid, lower=True), lower=False
+    )
+    return Kinv_Kit - Kinv_P @ mu
+
+
+def sharded_sample_paths(model, xt, nb_paths, mesh, axis_name="shard",
+                         block=256, key=None):
+    """nb_paths unconditional draws from GP(0, k) on xt with the (nt, nt)
+    covariance row-sharded and factored by the distributed blocked
+    Cholesky (reference sample_paths.py:45-63 semantics, chol method)."""
+    import jax as _jax
+
+    xt = gnp.asarray(xt)
+    K = sharded_covariance(model, model.covparam, xt, mesh,
+                           axis_name=axis_name)
+    L = sharded_cholesky(K, mesh, axis_name=axis_name, block=block)
+    if key is None:
+        eps = gnp.randn(K.shape[0], nb_paths)
+    else:
+        eps = _jax.random.normal(key, (K.shape[0], nb_paths), dtype=K.dtype)
+    return L @ eps
+
+
 def sharded_predict(model, xi, zi, xt, mesh, axis_name="shard", block=256,
                     convert_out=False):
     """(zt_posterior_mean, zt_posterior_variance) with the training

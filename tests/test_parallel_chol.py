@@ -237,3 +237,40 @@ def test_sharded_loo_matches_core(mesh, problem):
                                rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(s2_sh), np.asarray(s2),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_sharded_conditional_simulation_matches_core(mesh, problem):
+    """Large-n conditional simulation: sharded kriging weights + sharded
+    unconditional paths fed to core conditional_sample_paths, vs the
+    single-device equivalents."""
+    from gpmp_tpu.parallel import sharded_kriging_weights, sharded_sample_paths
+    from gpmp_tpu.core import kriging, sample_paths
+
+    model, xi, zi, p0 = problem
+    model.covparam = p0
+    rng = np.random.default_rng(11)
+    xt = gnp.asarray(rng.uniform(size=(64, D)))
+
+    lam_sh = sharded_kriging_weights(model, xi, xt, mesh, block=BLOCK)
+    lam, _ = kriging.kriging_predictor(model, xi, xt, return_type=-1)
+    np.testing.assert_allclose(np.asarray(lam_sh), np.asarray(lam),
+                               rtol=1e-7, atol=1e-9)
+
+    # unconditional sharded draws on a small grid: correct covariance
+    key = jax.random.PRNGKey(0)
+    paths = sharded_sample_paths(model, xt, 4000, mesh, block=8, key=key)
+    emp = np.cov(np.asarray(paths))
+    K_ref = np.asarray(model.covariance(xt, xt, p0))
+    assert np.abs(emp - K_ref).max() < 0.15 * np.abs(K_ref).max()
+
+    # end-to-end conditioning identical given the same simulated paths
+    n, nt = xi.shape[0], xt.shape[0]
+    xtsim_ind = np.arange(n + nt)
+    ztsim = gnp.asarray(np.random.default_rng(1).normal(size=(n + nt, 5)))
+    zc_sh = sample_paths.conditional_sample_paths(
+        model, ztsim, xtsim_ind[:n], zi, xtsim_ind[n:], lam_sh,
+        convert_out=True)
+    zc = sample_paths.conditional_sample_paths(
+        model, ztsim, xtsim_ind[:n], zi, xtsim_ind[n:], lam,
+        convert_out=True)
+    np.testing.assert_allclose(zc_sh, zc, rtol=1e-6, atol=1e-8)
