@@ -40,6 +40,8 @@ replace non-converged outputs with NaN, which the selection-criterion
 wrappers map to +inf exactly like a failed f64 Cholesky.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
@@ -131,14 +133,147 @@ def mp_logdet(K, precond, use_pallas=False, interpret=False):
     return jnp.where(d2norm2 < _LOGDET_FTOL2, ld, jnp.nan)
 
 
-def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS,
-                        use_pallas=False, interpret=False):
-    """(K^{-1} B, log det K) sharing one preconditioner."""
+def _level2_logdet(E, M, use_pallas=False, interpret=False):
+    """Two-level logdet correction from E = M K M^T (robust path)."""
+    n = E.shape[0]
+    _L_E, M_E = _f32_preconditioner(E, use_pallas=use_pallas,
+                                    interpret=interpret)
+    E2 = M_E @ E @ M_E.T
+    D2 = E2 - jnp.eye(n, dtype=E.dtype)
+    d2norm2 = jnp.sum(D2 * D2)
+    corr2 = jnp.trace(D2) - 0.5 * d2norm2
+    ld = (
+        -2.0 * jnp.sum(jnp.log(jnp.diag(M)))
+        - 2.0 * jnp.sum(jnp.log(jnp.diag(M_E)))
+        + corr2
+    )
+    return jnp.where(d2norm2 < _LOGDET_FTOL2, ld, jnp.nan)
+
+
+# |D|_F^2 threshold for the single-level series logdet: the quartic
+# truncation error is bounded by (tr D^2)^{5/2} = 1e-10 at the
+# threshold, below the f64 noise floor of an n>=100 logdet
+_SERIES_TAU = 1e-4
+
+
+def _mp_solve_and_logdet_core(n_refine, use_pallas, interpret, K, B):
+    """Forward pass shared by primal and VJP rules.
+
+    Level-1 pieces (f32 factor M = L32^{-1}, refined solve X, the
+    near-identity defect D = M K M^T - I) are always computed; the
+    logdet uses a quartic trace series in D when |D|_F^2 < tau (one
+    extra f64 matmul for D^2) and falls back to the two-level scheme
+    (second f32 factorization of E) for ill-conditioned K, via a real
+    lax.cond branch so the fast path never pays for the fallback.
+    """
     X, precond = refined_cholesky_solve(
         K, B, n_refine=n_refine, use_pallas=use_pallas, interpret=interpret
     )
-    return X, mp_logdet(K, precond, use_pallas=use_pallas,
-                        interpret=interpret)
+    _L, M = precond
+    n = K.shape[0]
+    E = M @ (K @ M.T)
+    D = E - jnp.eye(n, dtype=K.dtype)
+    trD2 = jnp.sum(D * D)  # = tr(D^2), D symmetric
+
+    def _series(operands):
+        M_, D_ = operands
+        D2 = D_ @ D_
+        return (
+            -2.0 * jnp.sum(jnp.log(jnp.diag(M_)))
+            + jnp.trace(D_)
+            - jnp.trace(D2) / 2.0
+            + jnp.sum(D2 * D_) / 3.0
+            - jnp.sum(D2 * D2) / 4.0
+        )
+
+    def _robust(operands):
+        M_, D_ = operands
+        E_ = D_ + jnp.eye(n, dtype=K.dtype)
+        return _level2_logdet(E_, M_, use_pallas=use_pallas,
+                              interpret=interpret)
+
+    # NaN trD2 (non-PD K) compares False -> robust branch -> NaN ld
+    ld = jax.lax.cond(trD2 < _SERIES_TAU, _series, _robust, (M, D))
+    return X, ld, (K, M, D, X)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _mp_solve_and_logdet(n_refine, use_pallas, interpret, K, B):
+    X, ld, _res = _mp_solve_and_logdet_core(
+        n_refine, use_pallas, interpret, K, B
+    )
+    return X, ld
+
+
+def _mp_sal_fwd(n_refine, use_pallas, interpret, K, B):
+    X, ld, res = _mp_solve_and_logdet_core(
+        n_refine, use_pallas, interpret, K, B
+    )
+    return (X, ld), res
+
+
+def _mp_sal_bwd(n_refine, use_pallas, interpret, res, cot):
+    """Analytic backward: all f64 work is matmuls.
+
+    d(K^{-1}B) -> Kbar -= S X^T, Bbar = S with S = K^{-1} Xbar (one
+    refined solve reusing the saved preconditioner); d(logdet K) ->
+    Kbar += ldbar K^{-1}, with K^{-1} ~= M^T (I - D + D^2) M on the
+    series branch (relative error O(|D|^3) <= 1e-6 at the guard) and
+    the two-level analogue on the robust branch.
+    """
+    Xbar, ldbar = cot
+    K, M, D, X = res
+    n = K.shape[0]
+    eye = jnp.eye(n, dtype=K.dtype)
+
+    squeeze = Xbar.ndim == 1
+    Xb = Xbar.reshape(-1, 1) if squeeze else Xbar
+    Xm = X.reshape(-1, 1) if squeeze else X
+    S, _ = refined_cholesky_solve(
+        K, Xb, precond=(M, M), n_refine=n_refine,
+        use_pallas=use_pallas, interpret=interpret,
+    )
+
+    trD2 = jnp.sum(D * D)
+
+    def _series_inv(operands):
+        M_, D_ = operands
+        D2 = D_ @ D_
+        H = (eye - D_ + D2) @ M_
+        return M_.T @ H
+
+    def _robust_inv(operands):
+        M_, D_ = operands
+        E_ = D_ + eye
+        _L_E, M_E = _f32_preconditioner(E_, use_pallas=use_pallas,
+                                        interpret=interpret)
+        E2 = M_E @ E_ @ M_E.T
+        DL = E2 - eye
+        G = M_E @ M_
+        H = (eye - DL + DL @ DL) @ G
+        return G.T @ H
+
+    Kinv = jax.lax.cond(trD2 < _SERIES_TAU, _series_inv, _robust_inv, (M, D))
+    Kbar = ldbar * Kinv - S @ Xm.T
+    Bbar = S.reshape(Xbar.shape)
+    return Kbar, Bbar
+
+
+_mp_solve_and_logdet.defvjp(_mp_sal_fwd, _mp_sal_bwd)
+
+
+def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS,
+                        use_pallas=False, interpret=False):
+    """(K^{-1} B, log det K) sharing one f32 preconditioner.
+
+    Differentiable via an analytic custom VJP (see _mp_sal_bwd); the
+    VJP residuals hold four n x n f64 buffers, so for n beyond ~10k
+    use the sharded criterion in gpmp_tpu.parallel instead.  Reverse
+    mode only: jax.hessian / jacfwd through this function raises (the
+    built-in Fisher paths use direct f64 Cholesky and are unaffected;
+    for second-order work set GPMP_CHOL_ENGINE=f64).
+    """
+    return _mp_solve_and_logdet(n_refine, use_pallas, interpret, K, B)
 
 
 # backward-compatible helper (factor only)

@@ -119,3 +119,56 @@ def test_refined_cholesky_nonpd_nan():
 
     L = refined_cholesky(gnp.asarray(-np.eye(64)))
     assert np.isnan(np.asarray(L)).any()
+
+
+@pytest.mark.parametrize("cond", [1e3, 1e6])
+def test_mp_engine_custom_vjp_grad(cond):
+    """Analytic VJP vs f64 autodiff oracle on both lax.cond branches.
+
+    cond=1e3 exercises the single-level series branch, cond=1e6 the
+    two-level robust branch (|D|_F^2 > tau for the f32 preconditioner).
+    """
+    n = 200
+    K0 = _spd(n, cond=cond, seed=8)
+    z = np.random.default_rng(9).normal(size=n)
+    K0j, zj = gnp.asarray(K0), gnp.asarray(z)
+
+    def nll_mixed(theta):
+        K = K0j * jnp.exp(theta[0]) + jnp.exp(theta[1]) * jnp.eye(n) * 1e-9
+        x, ld = mp_solve_and_logdet(K, zj, use_pallas=False)
+        return 0.5 * (ld + zj @ x)
+
+    def nll_f64(theta):
+        K = K0j * jnp.exp(theta[0]) + jnp.exp(theta[1]) * jnp.eye(n) * 1e-9
+        C = jnp.linalg.cholesky(K)
+        x = jax.scipy.linalg.cho_solve((C, True), zj)
+        return 0.5 * (2 * jnp.sum(jnp.log(jnp.diag(C))) + zj @ x)
+
+    theta = jnp.asarray(np.array([0.07, -0.3]))
+    v_m, g_m = jax.value_and_grad(nll_mixed)(theta)
+    v_f, g_f = jax.value_and_grad(nll_f64)(theta)
+    # at cond=1e6 the refined solve (and any f64 solve) carries an
+    # inherent O(eps * cond) relative error in the quadratic form
+    vtol = 1e-8 if cond < 1e4 else 1e-5
+    gtol = 1e-8 if cond < 1e4 else 1e-4
+    np.testing.assert_allclose(float(v_m), float(v_f), rtol=vtol)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_f), rtol=gtol)
+
+
+def test_mp_engine_custom_vjp_solve_cotangent():
+    """Bbar and the -S X^T term: grad w.r.t. a parameter entering B."""
+    n = 96
+    K0 = _spd(n, cond=1e3, seed=10)
+    z = np.random.default_rng(11).normal(size=n)
+    K0j, zj = gnp.asarray(K0), gnp.asarray(z)
+
+    def quad(theta):
+        b = zj * theta
+        x, _ld = mp_solve_and_logdet(K0j * jnp.exp(theta), b,
+                                     use_pallas=False)
+        return b @ x
+
+    g = float(jax.grad(quad)(jnp.asarray(0.2)))
+    h = 1e-6
+    fd = (float(quad(jnp.asarray(0.2 + h))) - float(quad(jnp.asarray(0.2 - h)))) / (2 * h)
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
