@@ -58,6 +58,56 @@ _SOLVE_RTOL2 = 1e-12
 _LOGDET_FTOL2 = 1e-8
 
 
+def _block_tri_inv(L, base=128):
+    """Inverse of a lower-triangular matrix by recursive 2x2 blocking.
+
+    [[A, 0], [C, B]]^{-1} = [[A^{-1}, 0], [-B^{-1} C A^{-1}, B^{-1}]],
+    applied bottom-up: one batched triangular solve at the base size,
+    then log2(n/base) levels of batched matmuls -- MXU-friendly where
+    XLA's triangular solve walks sequential panels.  Exact-zeros upper
+    triangle by construction, so det(result) = prod(diag) still holds.
+    M is used as a preconditioner; recursive inversion's (slightly
+    weaker) stability is absorbed by the refinement/series guards.
+    """
+    n0 = L.shape[0]
+    if n0 <= base:
+        return solve_triangular(
+            L, jnp.eye(n0, dtype=L.dtype), lower=True
+        )
+    # pad to base * 2^k with an identity tail: inv([[L,0],[0,I]]) is
+    # [[inv(L),0],[0,I]]
+    k = 0
+    n = base
+    while n < n0:
+        n *= 2
+        k += 1
+    Lp = jnp.eye(n, dtype=L.dtype).at[:n0, :n0].set(L)
+    nb = n // base
+    Lv = Lp.reshape(nb, base, nb, base)
+    idx = jnp.arange(nb)
+    diag_blocks = Lv[idx, :, idx, :]  # (nb, base, base)
+    eye_b = jnp.eye(base, dtype=L.dtype)
+    B = jax.vmap(lambda A: solve_triangular(A, eye_b, lower=True))(
+        diag_blocks
+    )
+    s = base
+    for _ in range(k):
+        m = B.shape[0] // 2  # pairs at this level
+        A_blk = B[0::2]  # (m, s, s) upper-left inverses
+        B_blk = B[1::2]  # (m, s, s) lower-right inverses
+        Lvv = Lp.reshape(m, 2, s, m, 2, s)
+        jdx = jnp.arange(m)
+        C = Lvv[jdx, 1, :, jdx, 0, :]  # (m, s, s) off-diagonal of L
+        X = -jnp.einsum("bij,bjk->bik", B_blk,
+                        jnp.einsum("bij,bjk->bik", C, A_blk))
+        z = jnp.zeros_like(A_blk)
+        top = jnp.concatenate([A_blk, z], axis=2)
+        bot = jnp.concatenate([X, B_blk], axis=2)
+        B = jnp.concatenate([top, bot], axis=1)  # (m, 2s, 2s)
+        s *= 2
+    return B[0][:n0, :n0]
+
+
 def _f32_preconditioner(K, use_pallas=False, interpret=False):
     """(L32 promoted to f64, M = L32^{-1} promoted to f64)."""
     n = K.shape[0]
@@ -70,7 +120,7 @@ def _f32_preconditioner(K, use_pallas=False, interpret=False):
         L32 = cholesky(K32, interpret)
     else:
         L32 = jnp.linalg.cholesky(K32)
-    M32 = solve_triangular(L32, jnp.eye(n, dtype=jnp.float32), lower=True)
+    M32 = _block_tri_inv(L32)
     return L32.astype(K.dtype), M32.astype(K.dtype)
 
 
@@ -176,12 +226,17 @@ def _mp_solve_and_logdet_core(n_refine, use_pallas, interpret, K, B):
     trD2 = jnp.sum(D * D)  # = tr(D^2), D symmetric
 
     def _series(operands):
+        # tr D and tr D^2 are first/second order and come from the f64
+        # D elementwise (no matmul); tr D^3 and tr D^4 are O(|D|^3)
+        # corrections, so the one matmul they need (D^2) runs in f32:
+        # its ~1e-7 relative error lands at O(1e-7 |D|^3) <= 1e-13.
         M_, D_ = operands
-        D2 = D_ @ D_
+        D32 = D_.astype(jnp.float32)
+        D2 = (D32 @ D32).astype(K.dtype)
         return (
             -2.0 * jnp.sum(jnp.log(jnp.diag(M_)))
             + jnp.trace(D_)
-            - jnp.trace(D2) / 2.0
+            - jnp.sum(D_ * D_) / 2.0
             + jnp.sum(D2 * D_) / 3.0
             - jnp.sum(D2 * D2) / 4.0
         )
@@ -237,10 +292,17 @@ def _mp_sal_bwd(n_refine, use_pallas, interpret, res, cot):
     trD2 = jnp.sum(D * D)
 
     def _series_inv(operands):
+        # Kinv ~= M^T (I - D + D^2) M = M^T M - M^T (D - D^2) M.  The
+        # identity part needs one f64 matmul; the correction is O(|D|)
+        # relative to it, so its two matmuls run in f32 (error
+        # O(1e-7 |D|) <= 1e-9 relative on Kinv).
         M_, D_ = operands
-        D2 = D_ @ D_
-        H = (eye - D_ + D2) @ M_
-        return M_.T @ H
+        Y = M_.T @ M_
+        M32 = M_.astype(jnp.float32)
+        D32 = D_.astype(jnp.float32)
+        DmD2 = D32 - D32 @ D32
+        C = (M32.T @ (DmD2 @ M32)).astype(K.dtype)
+        return Y - C
 
     def _robust_inv(operands):
         M_, D_ = operands
