@@ -46,6 +46,21 @@ def engine_cholesky_solve(K, rhs):
     return X
 
 
+def engine_solve_and_inv_diag(K, rhs):
+    """(K^{-1} rhs, diag(K^{-1})) via the configured engine.
+
+    The f64 path pays an n-RHS triangular solve (the slowest primitive
+    on TPU); the mixed engine gets the diagonal from its series
+    expansion at matmul cost (ops/mixed.py: mp_solve_and_inv_diag).
+    """
+    if chol_engine() == "mixed":
+        from gpmp_tpu.ops.mixed import mp_solve_and_inv_diag
+
+        return mp_solve_and_inv_diag(K, rhs)
+    X, C = gnp.cholesky_solve(K, rhs)
+    return X, diag_Kinv_from_chol(C)
+
+
 def diag_Kinv_from_chol(C, lower: bool = True):
     """diag(K^{-1}) from a Cholesky factor C of K (reference linalg.py:17-46).
 

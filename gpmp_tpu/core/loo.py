@@ -7,7 +7,7 @@ Reference semantics: /root/reference/gpmp/core/loo.py:21-162.
 import jax.numpy as jnp
 
 import gpmp_tpu.num as gnp
-from .linalg import diag_Kinv_from_chol
+from .linalg import chol_engine, engine_solve_and_inv_diag
 
 
 def loo(model, xi, zi):
@@ -29,8 +29,8 @@ def loo(model, xi, zi):
 def _loo_with_zero_mean(model, covparam, xi, zi):
     """e_i = (K^{-1} z)_i / (K^{-1})_ii ; sigma2_i = 1/(K^{-1})_ii."""
     K = model.covariance(xi, xi, covparam)
-    Kinv_zi, C = gnp.cholesky_solve(K, zi)
-    Kinvdiag = diag_Kinv_from_chol(C)
+    Kinv_zi, Kinvdiag = engine_solve_and_inv_diag(K, zi)
+    Kinv_zi = Kinv_zi.reshape(zi.shape)
     eloo = Kinv_zi.reshape(-1) / Kinvdiag
     sigma2loo = 1.0 / Kinvdiag
     zloo = zi - eloo
@@ -49,9 +49,34 @@ def _loo_with_parameterized_mean(model, meanparam, covparam, xi, zi):
 
 def _loo_with_linear_predictor_mean_cpd(model, meanparam, covparam, xi, zi):
     """Contrast-space LOO: Qinv = W (W'KW)^{-1} W'; CPD-safe
-    (reference loo.py:103-130)."""
+    (reference loo.py:103-130).
+
+    Under the mixed engine K must be PD anyway, so the complete n x n
+    QR + contrast solve is replaced by the profiled projector identity
+    Qinv = K^{-1} - K^{-1}P (P'K^{-1}P)^{-1} P'K^{-1} -- one engine
+    solve with (1+q) RHS plus O(nq^2) work.
+    """
     K = model.covariance(xi, xi, covparam)
     P = model.mean(xi, meanparam)
+
+    if chol_engine() == "mixed":
+        q = P.shape[1]
+        rhs = jnp.concatenate([zi.reshape(-1, 1), P], axis=1)
+        A, diagKinv = engine_solve_and_inv_diag(K, rhs)
+        a, U = A[:, 0], A[:, 1:]  # K^{-1}z, K^{-1}P
+        F = gnp.matmul(P.T, U)  # (q, q), PD for full-rank P
+        Fc = jnp.linalg.cholesky(F)
+        T = gnp.solve_triangular(Fc, U.T, lower=True)  # (q, n)
+        Qinvdiag = diagKinv - jnp.sum(T * T, axis=0)
+        Pta = gnp.matmul(P.T, a.reshape(-1, 1))
+        w = gnp.solve_triangular(
+            Fc.T, gnp.solve_triangular(Fc, Pta, lower=True), lower=False
+        )
+        Qinvzi = a - gnp.matmul(U, w).reshape(-1)
+        eloo = Qinvzi / Qinvdiag
+        sigma2loo = 1.0 / Qinvdiag
+        zloo = zi - eloo
+        return zloo, sigma2loo, eloo
 
     Q, _R = gnp.qr(P, mode="complete")
     W = Q[:, P.shape[1]:]

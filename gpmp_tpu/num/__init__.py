@@ -63,6 +63,10 @@ if _cache_spec != "0":
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # the XLA-internal AOT sub-caches mis-detect host features when
+        # entries cross processes with different platform lists and
+        # warn loudly; the jax-level executable cache is the win here
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # unwritable cache dir: stay with in-memory jit
         pass
 

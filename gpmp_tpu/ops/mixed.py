@@ -338,6 +338,52 @@ def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS,
     return _mp_solve_and_logdet(n_refine, use_pallas, interpret, K, B)
 
 
+def mp_solve_and_inv_diag(K, B, n_refine=DEFAULT_REFINE_ITERS,
+                          use_pallas=False, interpret=False):
+    """(K^{-1} B to ~f64, diag(K^{-1}) to ~1e-7 relative).
+
+    The LOO building block (reference loo.py:65-83 needs exactly
+    (K^{-1} z)_i and (K^{-1})_ii).  diag(K^{-1}) comes from the same
+    series the logdet uses: K^{-1} ~= M^T (I - D + D^2) M with
+    D = M K M^T - I, so diag = colsumsq(M) - diag(M^T (D - D^2) M),
+    the correction evaluated in f32 (it is O(|D|) relative to the
+    identity part).  Falls back to the two-level expansion through the
+    same lax.cond guard as the logdet; non-PD K yields NaNs.
+    """
+    X, precond = refined_cholesky_solve(
+        K, B, n_refine=n_refine, use_pallas=use_pallas, interpret=interpret
+    )
+    _L, M = precond
+    n = K.shape[0]
+    E = M @ (K @ M.T)
+    D = E - jnp.eye(n, dtype=K.dtype)
+    trD2 = jnp.sum(D * D)
+
+    def _series(operands):
+        M_, D_ = operands
+        M32 = M_.astype(jnp.float32)
+        D32 = D_.astype(jnp.float32)
+        DmD2 = D32 - D32 @ D32
+        corr = jnp.sum(M32 * (DmD2 @ M32), axis=0).astype(K.dtype)
+        return jnp.sum(M_ * M_, axis=0) - corr
+
+    def _robust(operands):
+        M_, D_ = operands
+        E_ = D_ + jnp.eye(n, dtype=K.dtype)
+        _L_E, M_E = _f32_preconditioner(E_, use_pallas=use_pallas,
+                                        interpret=interpret)
+        E2 = M_E @ E_ @ M_E.T
+        DL = E2 - jnp.eye(n, dtype=K.dtype)
+        G = M_E @ M_
+        H = (jnp.eye(n, dtype=K.dtype) - DL + DL @ DL) @ G
+        d = jnp.sum(G * H, axis=0)
+        # inherit the two-level convergence guard semantics
+        return jnp.where(jnp.sum(DL * DL) < _LOGDET_FTOL2, d, jnp.nan)
+
+    diag_inv = jax.lax.cond(trD2 < _SERIES_TAU, _series, _robust, (M, D))
+    return X, diag_inv
+
+
 # backward-compatible helper (factor only)
 def mp_cholesky(K, use_pallas=False, interpret=False):
     """Approximate (jittered) lower Cholesky factor from f32."""

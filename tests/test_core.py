@@ -297,3 +297,70 @@ def test_conditional_sample_paths_interpolate():
         np.asarray(ztsimc)[xi_ind, :], np.tile(zi.reshape(-1, 1), (1, 8)),
         atol=1e-6,
     )
+
+
+def test_loo_mixed_engine_matches_f64():
+    """Mixed-engine LOO (series diag(K^{-1}) + profiled linear-predictor
+    path) against the f64 oracle, both meantypes."""
+    import os
+
+    import jax.numpy as jnp
+
+    import gpmp_tpu as gp
+    from gpmp_tpu.core import loo as cloo
+
+    n, d, p = 300, 4, 2
+    rng = np.random.default_rng(0)
+    xi_np = rng.uniform(size=(n, d))
+    zi_np = np.sin(3 * xi_np[:, 0]) + 0.1 * rng.normal(size=n)
+
+    def constant_mean(x, param):
+        return gnp.ones((x.shape[0], 1))
+
+    def kernel(x, y, param, pairwise=False):
+        s2 = gnp.exp(param[0])
+        li = param[2:]
+        if y is x or y is None:
+            nv = gnp.exp(param[1])
+            if pairwise:
+                return s2 * gnp.ones((x.shape[0],))
+            K = gnp.scaled_distance(li, x, x)
+            return s2 * gp.kernel.maternp_kernel(p, K) + nv * gnp.eye(
+                K.shape[0]
+            )
+        if pairwise:
+            K = gnp.scaled_distance_elementwise(li, x, y)
+        else:
+            K = gnp.scaled_distance(li, x, y)
+        return s2 * gp.kernel.maternp_kernel(p, K)
+
+    xi, zi = gnp.asarray(xi_np), gnp.asarray(zi_np)
+    covparam = gnp.asarray(
+        np.concatenate([[0.0], [-4.0], -np.log(np.std(xi_np, axis=0))])
+    )
+    model = gp.Model(constant_mean, kernel)
+    model.covparam = covparam
+
+    cases = [
+        lambda: cloo._loo_with_zero_mean(model, covparam, xi, zi),
+        lambda: cloo._loo_with_linear_predictor_mean_cpd(
+            model, None, covparam, xi, zi
+        ),
+    ]
+    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    try:
+        for fn in cases:
+            os.environ["GPMP_CHOL_ENGINE"] = "f64"
+            ref = fn()
+            os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+            mix = fn()
+            for a, b in zip(ref, mix):
+                rel = float(
+                    jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a))
+                )
+                assert rel < 1e-8
+    finally:
+        if prev is None:
+            os.environ.pop("GPMP_CHOL_ENGINE", None)
+        else:
+            os.environ["GPMP_CHOL_ENGINE"] = prev
