@@ -18,7 +18,20 @@ def sample_paths(model, xt, nb_paths, method="chol", check_result=True, key=None
     K = model.covariance(xt_, xt_, model.covparam)
 
     if method == "chol":
-        C = jnp.linalg.cholesky(K)
+        from .linalg import chol_engine
+
+        if chol_engine() == "mixed":
+            from gpmp_tpu.ops.refine import refined_cholesky
+
+            C = refined_cholesky(K, steps=2)
+            # cond(K) beyond the f32 dynamic range (dense interpolation
+            # grids): fall back to the emulated-f64 factorization, which
+            # survives where the f32 preconditioner cannot.  This path
+            # already host-syncs for the NaN check below.
+            if bool(jnp.any(jnp.isnan(C))):
+                C = jnp.linalg.cholesky(K)
+        else:
+            C = jnp.linalg.cholesky(K)
         if check_result and bool(jnp.any(jnp.isnan(C))):
             raise AssertionError(
                 "Cholesky factorization failed (NaNs). "
