@@ -21,9 +21,11 @@ def sample_paths(model, xt, nb_paths, method="chol", check_result=True, key=None
         from .linalg import chol_engine
 
         if chol_engine() == "mixed":
-            from gpmp_tpu.ops.refine import refined_cholesky
+            from gpmp_tpu.ops.refine import sampling_sqrt
 
-            C = refined_cholesky(K, steps=2)
+            # non-triangular square root, C C^T = K to ~1e-9: any such
+            # factor draws from the same law, at 4 f64-matmul cost
+            C = sampling_sqrt(K)
             # cond(K) beyond the f32 dynamic range (dense interpolation
             # grids): fall back to the emulated-f64 factorization, which
             # survives where the f32 preconditioner cannot.  This path

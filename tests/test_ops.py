@@ -172,3 +172,16 @@ def test_mp_engine_custom_vjp_solve_cotangent():
     h = 1e-6
     fd = (float(quad(jnp.asarray(0.2 + h))) - float(quad(jnp.asarray(0.2 - h)))) / (2 * h)
     np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+@pytest.mark.parametrize("n,cond", [(300, 1e2), (500, 1e4), (400, 1e6)])
+def test_sampling_sqrt(n, cond):
+    """C C^T ~= K for the 4-matmul sampling factor; NaN on non-PD."""
+    from gpmp_tpu.ops.refine import sampling_sqrt
+
+    K = gnp.asarray(_spd(n, cond=cond, seed=int(np.log10(cond))))
+    C = sampling_sqrt(K)
+    rel = float(jnp.linalg.norm(C @ C.T - K) / jnp.linalg.norm(K))
+    assert rel < 1e-8
+    Cbad = sampling_sqrt(gnp.asarray(-np.eye(64)))
+    assert bool(jnp.any(jnp.isnan(Cbad)))
