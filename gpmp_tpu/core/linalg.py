@@ -96,7 +96,7 @@ def qr_nullspace(P):
 def norm_k_sqrd_with_zero_mean(model, xi, zi, covparam):
     """z^T K^{-1} z for zero-mean models."""
     K = model.covariance(xi, xi, covparam)
-    Kinv_zi, _ = gnp.cholesky_solve(K, zi)
+    Kinv_zi = engine_cholesky_solve(K, zi)
     return gnp.einsum("i..., i...", zi, Kinv_zi)
 
 
@@ -107,7 +107,7 @@ def k_inverses(model, xi, zi, covparam):
     zi_col = zi.reshape(-1, 1)
     ones_col = jnp.ones_like(zi_col)
     rhs = jnp.concatenate([zi_col, ones_col], axis=1)
-    sol, _C = gnp.cholesky_solve(K, rhs)
+    sol = engine_cholesky_solve(K, rhs)
     Kinv_zi = sol[:, 0].reshape(zi.shape)
     Kinv_1 = sol[:, 1].reshape(zi.shape)
     zTKinvz = gnp.einsum("i..., i...", zi, Kinv_zi)
@@ -115,9 +115,29 @@ def k_inverses(model, xi, zi, covparam):
 
 
 def norm_k_sqrd(model, xi, zi, covparam):
-    """(Wz)^T (W^T K W)^{-1} (Wz) for linear_predictor models."""
+    """(Wz)^T (W^T K W)^{-1} (Wz) for linear_predictor models.
+
+    Mixed engine: equals z^T Qinv z with
+    Qinv = K^{-1} - K^{-1}P (P'K^{-1}P)^{-1} P'K^{-1} (K PD), so one
+    engine solve with 1+q RHS replaces the complete n x n QR + contrast
+    solve; the f64 path keeps the CPD-safe contrast formulation.
+    """
     K = model.covariance(xi, xi, covparam)
     P = model.mean(xi, model.meanparam)
+
+    if chol_engine() == "mixed":
+        rhs = jnp.concatenate([zi.reshape(-1, 1), P], axis=1)
+        A = engine_cholesky_solve(K, rhs)
+        a, U = A[:, 0], A[:, 1:]  # K^{-1}z, K^{-1}P
+        F = gnp.matmul(P.T, U)
+        Fc = jnp.linalg.cholesky(F)
+        Pta = gnp.matmul(P.T, a.reshape(-1, 1))
+        w = gnp.solve_triangular(Fc, Pta, lower=True)
+        return (
+            gnp.einsum("i..., i...", zi.reshape(-1), a)
+            - jnp.sum(w * w)
+        ).reshape(())
+
     W = compute_contrast_matrix(P)
     Wzi = gnp.matmul(W.T, zi)
     G = compute_contrast_covariance(W, K)
