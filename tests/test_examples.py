@@ -33,6 +33,7 @@ EXAMPLES = [
     "examples.gpmp_tpu_example23_1d_interpolation_posterior_sampling",
     "examples.gpmp_tpu_example30_dataloader",
     "examples.gpmp_tpu_example40_sharded_large_n",
+    "examples.gpmp_tpu_example41_mixed_engine",
 ]
 
 # lighter budgets for the slow examples in CI
