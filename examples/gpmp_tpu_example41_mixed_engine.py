@@ -56,7 +56,7 @@ def kernel(x, y, covparam, pairwise=False):
     return sigma2 * gp.kernel.maternp_kernel(p, K)
 
 
-def main():
+def main(show=False):
     rng = np.random.default_rng(0)
     ni, d = 400, 3
     xi = rng.uniform(size=(ni, d))
