@@ -185,3 +185,51 @@ def test_sampling_sqrt(n, cond):
     assert rel < 1e-8
     Cbad = sampling_sqrt(gnp.asarray(-np.eye(64)))
     assert bool(jnp.any(jnp.isnan(Cbad)))
+
+
+def test_mp_engine_under_vmap():
+    """Sampler pattern: vmap(value_and_grad(criterion)) over chains with
+    the mixed engine's lax.cond + custom VJP inside."""
+    import os
+
+    import gpmp_tpu as gp
+
+    n, d, p = 96, 2, 2
+    rng = np.random.default_rng(0)
+    xi_np = rng.uniform(size=(n, d))
+    zi_np = np.sin(3 * xi_np[:, 0]) + 0.1 * rng.normal(size=n)
+
+    def constant_mean(x, param):
+        return gnp.ones((x.shape[0], 1))
+
+    def kernel(x, y, param, pairwise=False):
+        s2 = gnp.exp(param[0])
+        li = param[2:]
+        if y is x or y is None:
+            nv = gnp.exp(param[1])
+            if pairwise:
+                return s2 * gnp.ones((x.shape[0],))
+            K = gnp.scaled_distance(li, x, x)
+            return s2 * gp.kernel.maternp_kernel(p, K) + nv * gnp.eye(
+                K.shape[0]
+            )
+        K = gnp.scaled_distance(li, x, y)
+        return s2 * gp.kernel.maternp_kernel(p, K)
+
+    model = gp.Model(constant_mean, kernel)
+    xi, zi = gnp.asarray(xi_np), gnp.asarray(zi_np)
+    f = lambda pp: model.negative_log_restricted_likelihood(pp, xi, zi)
+    P0 = jnp.stack(
+        [jnp.asarray([0.0, -4.0, 0.5, 0.3]) + 0.01 * i for i in range(3)]
+    )
+    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    try:
+        os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        V, G = jax.jit(jax.vmap(jax.value_and_grad(f)))(P0)
+        V_serial = [float(jax.value_and_grad(f)(P0[i])[0]) for i in range(3)]
+    finally:
+        if prev is None:
+            os.environ.pop("GPMP_CHOL_ENGINE", None)
+        else:
+            os.environ["GPMP_CHOL_ENGINE"] = prev
+    np.testing.assert_allclose(np.asarray(V), V_serial, rtol=1e-12)
