@@ -12,22 +12,35 @@ import jax.numpy as jnp
 import gpmp_tpu.num as gnp
 
 
-def chol_engine():
+# below this size the f64 factorization is already cheap and the mixed
+# engine's larger HLO graph only adds compile latency
+_MIXED_MIN_N = 192
+
+
+def chol_engine(n=None):
     """Cholesky engine for SPD solves on the hot paths.
 
     'f64' (default): exact double-precision factorizations.
     'mixed' (opt-in via GPMP_CHOL_ENGINE=mixed): f32 factorization +
-    f64 matmul-based refinement (gpmp_tpu.ops.mixed) -- ~3x faster on
-    TPU where f64 Cholesky is emulated; accurate to ~1e-8 relative for
-    cond(K) up to ~1e6 (models with an observation-noise term).
+    f64 matmul-based refinement with trace-series logdet/diag and an
+    analytic custom VJP (gpmp_tpu.ops.mixed) -- ~4-10x faster on TPU
+    where f64 Cholesky is emulated; accurate to ~1e-10 relative for
+    cond(K) within the f32 range (~1e7), NaN->+inf beyond.
+
+    When the problem size ``n`` is passed, 'mixed' only engages for
+    n >= 192: small factorizations are latency-trivial either way and
+    the f64 graph compiles much faster.
     """
     eng = os.environ.get("GPMP_CHOL_ENGINE", "auto")
-    return "f64" if eng == "auto" else eng
+    eng = "f64" if eng == "auto" else eng
+    if eng == "mixed" and n is not None and n < _MIXED_MIN_N:
+        return "f64"
+    return eng
 
 
 def solve_and_logdet(K, rhs):
     """(K^{-1} rhs, log det K) via the configured engine; NaN-propagating."""
-    if chol_engine() == "mixed":
+    if chol_engine(K.shape[0]) == "mixed":
         from gpmp_tpu.ops.mixed import mp_solve_and_logdet
 
         return mp_solve_and_logdet(K, rhs)
@@ -37,7 +50,7 @@ def solve_and_logdet(K, rhs):
 
 def engine_cholesky_solve(K, rhs):
     """K^{-1} rhs via the configured engine (no logdet)."""
-    if chol_engine() == "mixed":
+    if chol_engine(K.shape[0]) == "mixed":
         from gpmp_tpu.ops.mixed import refined_cholesky_solve
 
         X, _ = refined_cholesky_solve(K, rhs)
@@ -53,7 +66,7 @@ def engine_solve_and_inv_diag(K, rhs):
     on TPU); the mixed engine gets the diagonal from its series
     expansion at matmul cost (ops/mixed.py: mp_solve_and_inv_diag).
     """
-    if chol_engine() == "mixed":
+    if chol_engine(K.shape[0]) == "mixed":
         from gpmp_tpu.ops.mixed import mp_solve_and_inv_diag
 
         return mp_solve_and_inv_diag(K, rhs)
@@ -125,7 +138,7 @@ def norm_k_sqrd(model, xi, zi, covparam):
     K = model.covariance(xi, xi, covparam)
     P = model.mean(xi, model.meanparam)
 
-    if chol_engine() == "mixed":
+    if chol_engine(K.shape[0]) == "mixed":
         rhs = jnp.concatenate([zi.reshape(-1, 1), P], axis=1)
         A = engine_cholesky_solve(K, rhs)
         a, U = A[:, 0], A[:, 1:]  # K^{-1}z, K^{-1}P

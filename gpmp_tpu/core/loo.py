@@ -59,7 +59,7 @@ def _loo_with_linear_predictor_mean_cpd(model, meanparam, covparam, xi, zi):
     K = model.covariance(xi, xi, covparam)
     P = model.mean(xi, meanparam)
 
-    if chol_engine() == "mixed":
+    if chol_engine(K.shape[0]) == "mixed":
         q = P.shape[1]
         rhs = jnp.concatenate([zi.reshape(-1, 1), P], axis=1)
         A, diagKinv = engine_solve_and_inv_diag(K, rhs)

@@ -20,7 +20,7 @@ def sample_paths(model, xt, nb_paths, method="chol", check_result=True, key=None
     if method == "chol":
         from .linalg import chol_engine
 
-        if chol_engine() == "mixed":
+        if chol_engine(K.shape[0]) == "mixed":
             from gpmp_tpu.ops.refine import sampling_sqrt
 
             # non-triangular square root, C C^T = K to ~1e-9: any such

@@ -194,7 +194,7 @@ def test_mp_engine_under_vmap():
 
     import gpmp_tpu as gp
 
-    n, d, p = 96, 2, 2
+    n, d, p = 224, 2, 2  # above the mixed-engine size gate (192)
     rng = np.random.default_rng(0)
     xi_np = rng.uniform(size=(n, d))
     zi_np = np.sin(3 * xi_np[:, 0]) + 0.1 * rng.normal(size=n)
