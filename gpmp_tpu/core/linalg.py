@@ -32,6 +32,14 @@ def chol_engine(n=None):
     the f64 graph compiles much faster.
     """
     eng = os.environ.get("GPMP_CHOL_ENGINE", "auto")
+    if eng not in ("auto", "f64", "mixed"):
+        from gpmp_tpu.config import get_logger
+
+        get_logger().warning(
+            "Unknown GPMP_CHOL_ENGINE=%r; falling back to 'f64' "
+            "(valid: auto, f64, mixed).", eng,
+        )
+        eng = "f64"
     eng = "f64" if eng == "auto" else eng
     if eng == "mixed" and n is not None and n < _MIXED_MIN_N:
         return "f64"
