@@ -59,10 +59,9 @@ def solve_and_logdet(K, rhs):
 def engine_cholesky_solve(K, rhs):
     """K^{-1} rhs via the configured engine (no logdet)."""
     if chol_engine(K.shape[0]) == "mixed":
-        from gpmp_tpu.ops.mixed import refined_cholesky_solve
+        from gpmp_tpu.ops.mixed import refined_solve
 
-        X, _ = refined_cholesky_solve(K, rhs)
-        return X
+        return refined_solve(K, rhs)
     X, _C = gnp.cholesky_solve(K, rhs)
     return X
 

@@ -338,6 +338,33 @@ def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS,
     return _mp_solve_and_logdet(n_refine, use_pallas, interpret, K, B)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _refined_solve_grad(n_refine, K, B):
+    X, _ = refined_cholesky_solve(K, B, n_refine=n_refine)
+    return X
+
+def _rs_fwd(n_refine, K, B):
+    X, precond = refined_cholesky_solve(K, B, n_refine=n_refine)
+    return X, (K, precond[1], X)
+
+def _rs_bwd(n_refine, res, Xbar):
+    K, M, X = res
+    squeeze = Xbar.ndim == 1
+    Xb = Xbar.reshape(-1, 1) if squeeze else Xbar
+    Xm = X.reshape(-1, 1) if squeeze else X
+    S, _ = refined_cholesky_solve(K, Xb, precond=(M, M), n_refine=n_refine)
+    return -S @ Xm.T, S.reshape(Xbar.shape)
+
+_refined_solve_grad.defvjp(_rs_fwd, _rs_bwd)
+
+
+def refined_solve(K, B, n_refine=DEFAULT_REFINE_ITERS):
+    """K^{-1} B via the f32-preconditioned refined solve, with an
+    analytic custom VJP (Kbar = -S X^T, Bbar = S = K^{-1} Xbar) so
+    reverse-mode never differentiates the preconditioner construction."""
+    return _refined_solve_grad(n_refine, K, B)
+
+
 def mp_solve_and_inv_diag(K, B, n_refine=DEFAULT_REFINE_ITERS,
                           use_pallas=False, interpret=False):
     """(K^{-1} B to ~f64, diag(K^{-1}) to ~1e-7 relative).
