@@ -9,6 +9,7 @@ from .mixed import (
     mp_solve_and_inv_diag,
     mp_solve_and_logdet,
     refined_cholesky_solve,
+    refined_solve,
 )
 from .refine import newton_tri_inv, refined_cholesky, sampling_sqrt
 
@@ -20,6 +21,7 @@ __all__ = [
     "mp_solve_and_inv_diag",
     "mp_solve_and_logdet",
     "refined_cholesky_solve",
+    "refined_solve",
     "newton_tri_inv",
     "refined_cholesky",
     "sampling_sqrt",
