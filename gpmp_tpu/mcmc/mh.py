@@ -84,6 +84,13 @@ class MHOptions:
     # counterpart -- the reference is single-process; SURVEY.md 2.7)
     mesh: Optional[Any] = None
     mesh_axis_name: str = "chains"
+    # checkpoint/resume (no reference counterpart -- the reference has
+    # no checkpointing anywhere, SURVEY.md section 5): when
+    # checkpoint_path is set, the full sampler state is written there
+    # every checkpoint_every advance blocks; resume with
+    # MetropolisHastings.restore_checkpoint + continue_run
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 10
 
     def __post_init__(self):
         if self.proposal_distribution_param_init is None:
@@ -138,6 +145,7 @@ class MetropolisHastings:
             else int(np.random.default_rng().integers(2**31))
         )
         self._block_kernel = None
+        self._blocks_since_checkpoint = 0
         self._vmapped_logtarget = jax.jit(jax.vmap(self._safe_log_target))
         self._chain_sharding = None
         if self.options.mesh is not None:
@@ -289,6 +297,7 @@ class MetropolisHastings:
             self.proposal_distribution_params[c] = self.proposal_distribution_params[
                 c
             ] * math.exp(gamma * (float(rates[c]) - self.target_acceptance))
+        self._maybe_checkpoint()
 
     def _compute_covariances_for_block(self, x_block, n_pool=1):
         n_chains = x_block.shape[0]
@@ -395,6 +404,21 @@ class MetropolisHastings:
                     epsilon=epsilon,
                 )
             )
+        self._maybe_checkpoint()
+
+    def _maybe_checkpoint(self):
+        """Periodic checkpoint at adaptation-block boundaries (AFTER the
+        proposal update, so a resumed run replays the exact state the
+        uninterrupted run would have used next).  Frozen-phase sampling
+        is a single scan, so it offers no intermediate boundaries."""
+        if self.options.checkpoint_path is None:
+            return
+        self._blocks_since_checkpoint += 1
+        if self._blocks_since_checkpoint >= max(
+            1, self.options.checkpoint_every
+        ):
+            self.save_checkpoint(self.options.checkpoint_path)
+            self._blocks_since_checkpoint = 0
 
     def run_adaptive(self, n_samples):
         n_blocks = n_samples // self.options.adaptation_interval
@@ -548,6 +572,9 @@ class MetropolisHastings:
             self.set_mode("sampling_adaptation")
             self.run_adaptive(n_remain)
 
+        return self._finish_run()
+
+    def _finish_run(self):
         self.global_total = self.global_iter
         if self.options.show_global_progress:
             self._print_final_time(self.global_total, self.start_time)
@@ -560,6 +587,114 @@ class MetropolisHastings:
             else self.x[:, : self.global_total + 1]
         )
         return gnp.asarray(out)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (no reference counterpart; SURVEY.md section 5)
+    # ------------------------------------------------------------------
+    def get_state(self):
+        """(arrays, meta) snapshot of the full sampler state."""
+        arrays = {
+            "x": self.x,
+            "accept": self.accept,
+            "log_target_values": self.log_target_values,
+            "haario_scaling_factors": self.haario_scaling_factors,
+            "key": np.asarray(
+                jax.random.key_data(self._key)
+                if jnp.issubdtype(self._key.dtype, jax.dtypes.prng_key)
+                else self._key
+            ),
+        }
+        if self.proposal_distribution_params is not None:
+            for c, p in enumerate(self.proposal_distribution_params):
+                arrays[f"proposal_param_{c}"] = np.asarray(p)
+        meta = {
+            "kind": "MetropolisHastings",
+            "n_chains": self.n_chains,
+            "dim": self.dim,
+            "sampling_mode": self.sampling_mode,
+            "burnin_period": int(self.burnin_period),
+            "global_iter": int(self.global_iter),
+            "global_total": int(self.global_total),
+            "haario_adapt_factor": self.haario_adapt_factor,
+            "n_proposal_params": (
+                0 if self.proposal_distribution_params is None
+                else len(self.proposal_distribution_params)
+            ),
+        }
+        return arrays, meta
+
+    def set_state(self, arrays, meta):
+        if meta.get("kind") != "MetropolisHastings":
+            raise ValueError(f"Not an MH checkpoint: {meta.get('kind')!r}")
+        if (meta["n_chains"], meta["dim"]) != (self.n_chains, self.dim):
+            raise ValueError(
+                "Checkpoint shape mismatch: options give "
+                f"({self.n_chains}, {self.dim}), checkpoint has "
+                f"({meta['n_chains']}, {meta['dim']})."
+            )
+        self.x = np.array(arrays["x"])
+        self.accept = np.array(arrays["accept"])
+        self.log_target_values = np.array(arrays["log_target_values"])
+        self.haario_scaling_factors = np.array(
+            arrays["haario_scaling_factors"]
+        )
+        n_pp = meta.get("n_proposal_params", 0)
+        if n_pp:
+            self.proposal_distribution_params = [
+                np.array(arrays[f"proposal_param_{c}"]) for c in range(n_pp)
+            ]
+        key = jnp.asarray(arrays["key"])
+        if jnp.issubdtype(self._key.dtype, jax.dtypes.prng_key):
+            key = jax.random.wrap_key_data(key)
+        self._key = key
+        self.sampling_mode = meta["sampling_mode"]
+        self.burnin_period = meta["burnin_period"]
+        self.global_iter = meta["global_iter"]
+        self.global_total = meta["global_total"]
+        self.haario_adapt_factor = meta["haario_adapt_factor"]
+        if self.start_time is None:
+            self.start_time = time.time()
+
+    def save_checkpoint(self, path):
+        from .checkpoint import save_sampler_checkpoint
+
+        arrays, meta = self.get_state()
+        save_sampler_checkpoint(path, arrays, meta)
+
+    def restore_checkpoint(self, path):
+        """Load state saved by save_checkpoint into this sampler (the
+        log-target and options are re-supplied by the constructor)."""
+        from .checkpoint import load_sampler_checkpoint
+
+        arrays, meta = load_sampler_checkpoint(path)
+        self.set_state(arrays, meta)
+
+    def continue_run(self):
+        """Resume an interrupted scheduler() run from restored state:
+        finishes the remaining burn-in and/or sampling steps and returns
+        the same trace array scheduler() would have."""
+        if self.x is None:
+            raise ValueError("No state to continue from; restore first.")
+        n_steps_total = self.global_total - 1
+        self.start_time = time.time()
+        if (
+            self.sampling_mode in ("init", "burnin")
+            and self.global_iter < self.burnin_period
+        ):
+            self.set_mode("burnin")
+            self.run_burnin(self.burnin_period - self.global_iter)
+        n_remain = n_steps_total - max(self.global_iter, self.burnin_period)
+        if n_remain > 0:
+            if self.options.freeze_adaptation:
+                self.set_mode("sampling_freeze_adaptation")
+                self.run_samples(
+                    n_remain,
+                    show_global_progress=self.options.show_global_progress,
+                )
+            else:
+                self.set_mode("sampling_adaptation")
+                self.run_adaptive(n_remain)
+        return self._finish_run()
 
     # ------------------------------------------------------------------
     # diagnostics

@@ -1,0 +1,89 @@
+# tests/test_checkpoint.py
+"""Sampler checkpoint/resume (no reference counterpart -- the reference
+has no checkpointing anywhere, SURVEY.md section 5).
+
+The resume test is EXACT: a run interrupted at a block boundary and
+resumed from its checkpoint must reproduce the uninterrupted run's
+traces bit-for-bit (state includes the PRNG key and all adaptation
+state)."""
+
+import numpy as np
+import pytest
+
+import gpmp_tpu.mcmc.mh as mh_mod
+from gpmp_tpu.mcmc import MetropolisHastings, MHOptions
+from gpmp_tpu.mcmc.checkpoint import (
+    load_sampler_checkpoint,
+    save_sampler_checkpoint,
+)
+
+
+def _log_target(x):
+    return -0.5 * ((x[0] + 1.0) ** 2 / 0.5 + (x[1] - 2.0) ** 2 / 2.0)
+
+
+def _options(tmp_path=None, every=1):
+    kw = dict(
+        dim=2, n_chains=2, seed=123, adaptation_interval=20,
+        init_msg=None, show_global_progress=False,
+    )
+    if tmp_path is not None:
+        kw.update(checkpoint_path=str(tmp_path / "mh.npz"),
+                  checkpoint_every=every)
+    return MHOptions(**kw)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = tmp_path / "raw.npz"
+    arrays = {"a": np.arange(6.0).reshape(2, 3), "b": np.uint32([1, 2])}
+    meta = {"kind": "test", "n": 5, "mode": "x"}
+    save_sampler_checkpoint(path, arrays, meta)
+    arrays2, meta2 = load_sampler_checkpoint(path)
+    np.testing.assert_array_equal(arrays2["a"], arrays["a"])
+    np.testing.assert_array_equal(arrays2["b"], arrays["b"])
+    assert meta2["kind"] == "test" and meta2["n"] == 5
+
+
+def test_mh_resume_is_exact(tmp_path):
+    x0 = np.zeros(2)
+    n_total, burnin = 300, 120
+
+    # uninterrupted reference run
+    mh_ref = MetropolisHastings(_log_target, options=_options())
+    out_ref = np.asarray(mh_ref.scheduler(x0, n_total, burnin))
+
+    # checkpointed run: stash every block checkpoint separately
+    mh_a = MetropolisHastings(_log_target, options=_options(tmp_path))
+    stashed = []
+    orig_save = mh_a.save_checkpoint
+
+    def stashing_save(path):
+        p = tmp_path / f"block_{len(stashed)}.npz"
+        orig_save(str(p))
+        stashed.append(p)
+
+    mh_a.save_checkpoint = stashing_save
+    out_a = np.asarray(mh_a.scheduler(x0, n_total, burnin))
+    np.testing.assert_array_equal(out_a, out_ref)
+    assert len(stashed) >= 4
+
+    # resume from a mid-run checkpoint ("crash" after some blocks)
+    mid = stashed[len(stashed) // 2]
+    mh_b = MetropolisHastings(_log_target, options=_options())
+    mh_b.restore_checkpoint(str(mid))
+    assert 0 < mh_b.global_iter < n_total
+    out_b = np.asarray(mh_b.continue_run())
+    np.testing.assert_array_equal(out_b, out_ref)
+
+
+def test_mh_restore_shape_mismatch(tmp_path):
+    mh_a = MetropolisHastings(_log_target, options=_options())
+    mh_a.scheduler(np.zeros(2), 60, 20)
+    p = tmp_path / "state.npz"
+    mh_a.save_checkpoint(str(p))
+    bad = MetropolisHastings(
+        lambda x: -0.5 * float(x[0]) ** 2,
+        options=MHOptions(dim=1, n_chains=2, init_msg=None),
+    )
+    with pytest.raises(ValueError):
+        bad.restore_checkpoint(str(p))
