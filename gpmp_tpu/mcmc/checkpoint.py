@@ -23,6 +23,21 @@ FORMAT_VERSION = 1
 _META_KEY = "__gpmp_tpu_meta__"
 
 
+def _jsonify(obj):
+    """Recursively convert numpy scalars / small arrays to JSON types."""
+    if isinstance(obj, dict):
+        return {str(k): _jsonify(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonify(v) for v in obj]
+    if isinstance(obj, np.generic):
+        return obj.item()
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if hasattr(obj, "item") and getattr(obj, "ndim", None) == 0:
+        return obj.item()  # 0-d jax arrays
+    return obj
+
+
 def save_sampler_checkpoint(path, arrays, meta):
     """Atomically write ``arrays`` (dict of array-likes) + ``meta``
     (dict of JSON-serializable scalars/strings/lists) to ``path``."""
@@ -34,7 +49,7 @@ def save_sampler_checkpoint(path, arrays, meta):
     meta = dict(meta)
     meta["format_version"] = FORMAT_VERSION
     payload[_META_KEY] = np.frombuffer(
-        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        json.dumps(_jsonify(meta)).encode("utf-8"), dtype=np.uint8
     )
     tmp = str(path) + ".tmp"
     with open(tmp, "wb") as fh:

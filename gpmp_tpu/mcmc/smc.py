@@ -63,6 +63,11 @@ class SMCConfig:
     mh_acceptation_rate_max: float = 0.30
     mh_adjustment_factor: float = 1.4
     mh_adjustment_max_iterations: int = 50
+    # checkpoint/resume (no reference counterpart, SURVEY.md section 5):
+    # snapshot the full SMC state every checkpoint_every tempering-ladder
+    # stages; resume with SMC.restore_checkpoint + resume_restart
+    checkpoint_path: str = None
+    checkpoint_every: int = 1
 
 
 class ParticlesSetError(BaseException):
@@ -603,7 +608,21 @@ class SMC:
 
         current_logpdf_param = initial_logpdf_param
         self.log_data["logpdf_param_sequence"] = [initial_logpdf_param]
+        self._run_ladder(
+            logpdf_parameterized_function, current_logpdf_param,
+            target_logpdf_param, threshold, debug=debug,
+        )
 
+    def _run_ladder(self, logpdf_parameterized_function, current_logpdf_param,
+                    target_logpdf_param, threshold, debug=False):
+        """Walk the adaptive tempering ladder from current to target;
+        checkpoints after every stage when configured (resume re-enters
+        here via resume_restart)."""
+        self._ladder_state = {
+            "current_logpdf_param": float(current_logpdf_param),
+            "target_logpdf_param": float(target_logpdf_param),
+            "threshold": float(threshold),
+        }
         while current_logpdf_param != target_logpdf_param:
             next_logpdf_param = self.compute_next_logpdf_param(
                 logpdf_parameterized_function, current_logpdf_param,
@@ -627,9 +646,106 @@ class SMC:
             self.step(logpdf_parameterized_function, next_logpdf_param,
                       debug=debug)
             current_logpdf_param = next_logpdf_param
+            self._ladder_state["current_logpdf_param"] = float(
+                current_logpdf_param
+            )
+            self._maybe_checkpoint()
 
+        self._ladder_state = None
         self.log_data["logpdf_param_sequence"] = []
         self.log_data["restart_iteration"] = 0
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (no reference counterpart; SURVEY.md section 5)
+    # ------------------------------------------------------------------
+    def _maybe_checkpoint(self):
+        if self.smc_config.checkpoint_path is None:
+            return
+        self._stages_since_checkpoint = (
+            getattr(self, "_stages_since_checkpoint", 0) + 1
+        )
+        if self._stages_since_checkpoint >= max(
+            1, self.smc_config.checkpoint_every
+        ):
+            self.save_checkpoint(self.smc_config.checkpoint_path)
+            self._stages_since_checkpoint = 0
+
+    def get_state(self):
+        """(arrays, meta) snapshot of particles + driver state."""
+        p = self.particles
+        arrays = {
+            "x": np.asarray(p.x),
+            "logpx": np.asarray(p.logpx),
+            "w": np.asarray(p.w),
+            "key": np.asarray(
+                jax.random.key_data(p._key)
+                if jnp.issubdtype(p._key.dtype, jax.dtypes.prng_key)
+                else p._key
+            ),
+        }
+        meta = {
+            "kind": "SMC",
+            "n": self.n,
+            "dim": p.dim,
+            "param_s": float(p.param_s),
+            "stage": int(self.stage),
+            "rng_state": p.rng.bit_generator.state,
+            "log": self.log,
+            "log_data": {
+                k: v for k, v in self.log_data.items()
+                if k != "logpdf_param_sequence" or v is not None
+            },
+            "ladder_state": getattr(self, "_ladder_state", None),
+        }
+        return arrays, meta
+
+    def set_state(self, arrays, meta):
+        if meta.get("kind") != "SMC":
+            raise ValueError(f"Not an SMC checkpoint: {meta.get('kind')!r}")
+        if (meta["n"], meta["dim"]) != (self.n, self.particles.dim):
+            raise ValueError(
+                f"Checkpoint shape mismatch: ({self.n}, "
+                f"{self.particles.dim}) vs ({meta['n']}, {meta['dim']})."
+            )
+        p = self.particles
+        p.x = gnp.asarray(arrays["x"])
+        p.logpx = gnp.asarray(arrays["logpx"])
+        p.w = gnp.asarray(arrays["w"])
+        key = jnp.asarray(arrays["key"])
+        if jnp.issubdtype(p._key.dtype, jax.dtypes.prng_key):
+            key = jax.random.wrap_key_data(key)
+        p._key = key
+        p.param_s = meta["param_s"]
+        p.rng.bit_generator.state = meta["rng_state"]
+        self.stage = meta["stage"]
+        self.log = list(meta["log"])
+        self.log_data.update(meta["log_data"])
+        self._ladder_state = meta.get("ladder_state")
+
+    def save_checkpoint(self, path):
+        from .checkpoint import save_sampler_checkpoint
+
+        arrays, meta = self.get_state()
+        save_sampler_checkpoint(path, arrays, meta)
+
+    def restore_checkpoint(self, path):
+        from .checkpoint import load_sampler_checkpoint
+
+        arrays, meta = load_sampler_checkpoint(path)
+        self.set_state(arrays, meta)
+
+    def resume_restart(self, logpdf_parameterized_function, debug=False):
+        """Continue an interrupted tempering ladder from restored state."""
+        ls = getattr(self, "_ladder_state", None)
+        if ls is None:
+            raise ValueError(
+                "No in-progress ladder in the restored state; nothing to "
+                "resume."
+            )
+        self._run_ladder(
+            logpdf_parameterized_function, ls["current_logpdf_param"],
+            ls["target_logpdf_param"], ls["threshold"], debug=debug,
+        )
 
     def move_with_controlled_acceptation_rate(self, debug=False):
         """Multiplicative param_s tuning to keep the MH acceptance rate in

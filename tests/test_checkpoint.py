@@ -87,3 +87,62 @@ def test_mh_restore_shape_mismatch(tmp_path):
     )
     with pytest.raises(ValueError):
         bad.restore_checkpoint(str(p))
+
+
+def test_smc_resume_is_exact(tmp_path):
+    """SMC tempering ladder interrupted at a stage boundary and resumed
+    from its checkpoint reproduces the uninterrupted run exactly."""
+    import jax.numpy as jnp
+
+    from gpmp_tpu.mcmc.smc import (
+        SMC, SMCConfig, ParticlesSetConfig,
+    )
+
+    def log_mix(x):
+        x = x.reshape(-1)
+        p = 0.3 * jnp.exp(-0.5 * x**2 / 0.04) + 0.7 * jnp.exp(
+            -0.5 * (x - 3.0) ** 2 / 0.16
+        )
+        return jnp.log(p + 1e-300)
+
+    def logpdf_temp(x, beta):
+        return beta * log_mix(jnp.asarray(x))
+
+    box = [[-3.0], [6.0]]
+    pc = ParticlesSetConfig(resample_scheme="residual",
+                            covariance_method="normal")
+
+    def make(checkpoint=None):
+        sc = SMCConfig(compute_next_logpdf_param_method="ess", mh_steps=5,
+                       checkpoint_path=checkpoint, checkpoint_every=1)
+        return SMC(box=box, n=400, particles_config=pc, smc_config=sc,
+                   rng=np.random.default_rng(7))
+
+    # uninterrupted reference
+    smc_ref = make()
+    smc_ref.step_with_possible_restart(logpdf_temp, 0.01, 1.0, 0.6, None)
+    x_ref = np.asarray(smc_ref.particles.x)
+
+    # checkpointed run, stashing every stage
+    stashed = []
+    smc_a = make(checkpoint=str(tmp_path / "smc.npz"))
+    orig = smc_a.save_checkpoint
+
+    def stash(path):
+        p = tmp_path / f"smc_{len(stashed)}.npz"
+        orig(str(p))
+        stashed.append(p)
+
+    smc_a.save_checkpoint = stash
+    smc_a.step_with_possible_restart(logpdf_temp, 0.01, 1.0, 0.6, None)
+    np.testing.assert_array_equal(np.asarray(smc_a.particles.x), x_ref)
+    assert len(stashed) >= 2
+
+    # resume from a mid-ladder checkpoint
+    mid = stashed[len(stashed) // 2 - 1]
+    smc_b = make()
+    smc_b.restore_checkpoint(str(mid))
+    assert smc_b._ladder_state is not None
+    assert smc_b._ladder_state["current_logpdf_param"] < 1.0
+    smc_b.resume_restart(logpdf_temp)
+    np.testing.assert_array_equal(np.asarray(smc_b.particles.x), x_ref)
