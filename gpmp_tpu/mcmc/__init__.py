@@ -13,6 +13,7 @@ __all__ = [
     "MetropolisHastings",
     "sample_multivariate_normal_with_jitter",
     "nuts_sample",
+    "nuts_resume",
     "nuts_transition",
     "NUTSOptions",
     "plot_nuts_diagnostics",
@@ -42,6 +43,7 @@ _EXPORT_TO_MODULE = {
     "MetropolisHastings": "mh",
     "sample_multivariate_normal_with_jitter": "mh",
     "nuts_sample": "nuts",
+    "nuts_resume": "nuts",
     "nuts_transition": "nuts",
     "NUTSOptions": "nuts",
     "plot_nuts_diagnostics": "nuts",

@@ -77,6 +77,16 @@ class NUTSOptions:
     scan_warmup_threshold: int = 300
     scan_warmup_chunk: int = 200
 
+    # checkpoint/resume of the post-warmup sampling phase (no reference
+    # counterpart -- the reference has no checkpointing anywhere,
+    # SURVEY.md section 5).  When checkpoint_path is set, sampling runs
+    # as chunked scans of checkpoint_every steps over per-step keys
+    # pre-split exactly as the single-scan path derives them (so traces
+    # are bitwise-identical), snapshotting the full state after each
+    # chunk; resume with nuts_resume(log_prob, checkpoint_path).
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 200
+
     # dual averaging
     dual_averaging_gamma: float = 0.05
     dual_averaging_t0: float = 10.0
@@ -880,7 +890,40 @@ def nuts_sample(log_prob, q_init, num_samples,
     use_scan = opts.scan_sampling
     if use_scan is None:
         use_scan = num_samples >= int(opts.scan_sampling_threshold)
-    if use_scan:
+    if opts.checkpoint_path is not None:
+        # chunked scans over per-step keys pre-split exactly like the
+        # single-scan path -> bitwise-identical traces, snapshot after
+        # every chunk; resume with nuts_resume()
+        master_key, sub = jax.random.split(master_key)
+        sub_np = np.asarray(sub)
+        step_keys = jax.random.split(sub, num_samples * chains).reshape(
+            num_samples, chains, 2
+        )
+        traces = {
+            "samples": samples, "accept": accept, "divergent": divergent,
+            "tree_depth": tree_depth, "n_leapfrog": n_leapfrog,
+            "log_target": log_target,
+        }
+        warmup_arrays = {
+            "warmup_eps": warmup_eps, "warmup_accept": warmup_accept,
+            "warmup_div": warmup_div, "warmup_depth": warmup_depth,
+            "warmup_nlf": warmup_nlf, "warmup_log_target": warmup_log_target,
+        }
+        meta_common = {
+            "kind": "NUTS", "num_samples": int(num_samples),
+            "chains": int(chains), "dim": int(dim),
+            "max_depth": int(max_depth), "delta_max": float(delta_max),
+            "step_size": float(step_size),
+            "step_size_final": float(step_size_final),
+        }
+        q = _run_sampling_chunks(
+            transition, log_prob, q, step_keys, 0, traces,
+            step_size, inv_mass_diag, delta_max,
+            max(1, int(opts.checkpoint_every)),
+            _make_nuts_saver(opts.checkpoint_path, sub_np, mass_diag,
+                             traces, warmup_arrays, meta_common),
+        )
+    elif use_scan:
         # post-warmup phase: eps and mass are frozen, so the whole
         # sampling run is one scanned device program (one dispatch
         # instead of num_samples host round-trips -- the reference loops
@@ -950,6 +993,134 @@ def nuts_sample(log_prob, q_init, num_samples,
         "mass_diag_final": mass_diag.copy(),
     }
     return gnp.asarray(samples), info
+
+
+# ---------------------------
+# checkpoint / resume (no reference counterpart; SURVEY.md section 5)
+# ---------------------------
+def _run_sampling_chunks(transition, log_prob, q, step_keys, t_start,
+                         traces, step_size, inv_mass_diag, delta_max,
+                         chunk, save_fn):
+    """Advance the frozen-parameter sampling phase in scanned chunks,
+    filling ``traces`` in place and calling ``save_fn(q, t_done)`` after
+    each chunk.  Per-step keys come pre-split, so chunking does not
+    change the sample stream."""
+    num_samples = step_keys.shape[0]
+
+    @jax.jit
+    def _chunk_scan(q0, keys, eps, imd, dmax):
+        def body(qc, keys_t):
+            q1, a, nlf, depth, div = jax.vmap(
+                transition, in_axes=(0, 0, None, None, None)
+            )(keys_t, qc, eps, imd, dmax)
+            lp = jax.vmap(
+                lambda qq: jnp.asarray(log_prob(qq)).reshape(())
+            )(q1)
+            return q1, (q1, a, nlf, depth, div, lp)
+
+        return lax.scan(body, q0, keys)
+
+    t = int(t_start)
+    while t < num_samples:
+        k = min(chunk, num_samples - t)
+        q, (qs, a_s, nlf_s, depth_s, div_s, lp_s) = _chunk_scan(
+            q, jnp.asarray(step_keys[t : t + k]), jnp.asarray(step_size),
+            jnp.asarray(inv_mass_diag), jnp.asarray(delta_max),
+        )
+        traces["samples"][t : t + k] = np.asarray(qs)
+        traces["accept"][t : t + k] = np.asarray(a_s)
+        traces["divergent"][t : t + k] = np.asarray(div_s)
+        traces["tree_depth"][t : t + k] = np.asarray(depth_s)
+        traces["n_leapfrog"][t : t + k] = np.asarray(nlf_s)
+        traces["log_target"][t : t + k] = np.asarray(lp_s)
+        t += k
+        save_fn(q, t)
+    return q
+
+
+def _make_nuts_saver(path, sub_np, mass_diag, traces, warmup_arrays,
+                     meta_common):
+    def save_fn(q, t_done):
+        from .checkpoint import save_sampler_checkpoint
+
+        arrays = {"q": np.asarray(q), "mass_diag": np.asarray(mass_diag),
+                  "sub": sub_np}
+        arrays.update({f"trace_{k}": v for k, v in traces.items()})
+        arrays.update(warmup_arrays)
+        meta = dict(meta_common)
+        meta["t_done"] = int(t_done)
+        save_sampler_checkpoint(path, arrays, meta)
+
+    return save_fn
+
+
+def nuts_resume(log_prob, checkpoint_path, verbose=1):
+    """Resume an interrupted nuts_sample run whose options set
+    checkpoint_path; returns the same (samples, info) the uninterrupted
+    run would have (bitwise-identical traces).  The caller re-supplies
+    the log-probability function; everything else is in the snapshot."""
+    from .checkpoint import load_sampler_checkpoint
+
+    arrays, meta = load_sampler_checkpoint(checkpoint_path)
+    if meta.get("kind") != "NUTS":
+        raise ValueError(f"Not a NUTS checkpoint: {meta.get('kind')!r}")
+    logger = SimpleLogger(verbose=verbose)
+    num_samples = meta["num_samples"]
+    chains, dim = meta["chains"], meta["dim"]
+    t_done = meta["t_done"]
+    step_size = meta["step_size"]
+    delta_max = meta["delta_max"]
+    mass_diag = np.asarray(arrays["mass_diag"])
+    inv_mass_diag = 1.0 / mass_diag
+    q = jnp.asarray(arrays["q"])
+
+    traces = {
+        "samples": np.array(arrays["trace_samples"]),
+        "accept": np.array(arrays["trace_accept"]),
+        "divergent": np.array(arrays["trace_divergent"]),
+        "tree_depth": np.array(arrays["trace_tree_depth"]),
+        "n_leapfrog": np.array(arrays["trace_n_leapfrog"]),
+        "log_target": np.array(arrays["trace_log_target"]),
+    }
+    logger.log(
+        f"nuts_resume: {t_done}/{num_samples} samples done, continuing"
+    )
+    transition = _make_transition(log_prob, meta["max_depth"])
+    sub = jnp.asarray(arrays["sub"])
+    step_keys = jax.random.split(sub, num_samples * chains).reshape(
+        num_samples, chains, 2
+    )
+    warmup_arrays = {
+        k: np.array(arrays[k])
+        for k in ("warmup_eps", "warmup_accept", "warmup_div",
+                  "warmup_depth", "warmup_nlf", "warmup_log_target")
+    }
+    meta_common = {k: meta[k] for k in ("kind", "num_samples", "chains",
+                                        "dim", "max_depth", "delta_max",
+                                        "step_size", "step_size_final")}
+    _run_sampling_chunks(
+        transition, log_prob, q, step_keys, t_done, traces,
+        step_size, inv_mass_diag, delta_max,
+        max(1, num_samples // 10 if num_samples >= 10 else num_samples),
+        _make_nuts_saver(checkpoint_path, np.asarray(arrays["sub"]),
+                         mass_diag, traces, warmup_arrays, meta_common),
+    )
+    info = {
+        "warmup_step_size": warmup_arrays["warmup_eps"],
+        "warmup_accept_stat": warmup_arrays["warmup_accept"],
+        "warmup_divergent": warmup_arrays["warmup_div"],
+        "warmup_tree_depth": warmup_arrays["warmup_depth"],
+        "warmup_log_prob_trace": warmup_arrays["warmup_log_target"],
+        "warmup_n_leapfrog": warmup_arrays["warmup_nlf"],
+        "accept_stat": traces["accept"],
+        "divergent": traces["divergent"],
+        "tree_depth": traces["tree_depth"],
+        "n_leapfrog": traces["n_leapfrog"],
+        "log_prob_trace": traces["log_target"],
+        "step_size_final": meta["step_size_final"],
+        "mass_diag_final": mass_diag.copy(),
+    }
+    return gnp.asarray(traces["samples"]), info
 
 
 # ---------------------------

@@ -146,3 +146,55 @@ def test_smc_resume_is_exact(tmp_path):
     assert smc_b._ladder_state["current_logpdf_param"] < 1.0
     smc_b.resume_restart(logpdf_temp)
     np.testing.assert_array_equal(np.asarray(smc_b.particles.x), x_ref)
+
+
+def test_nuts_resume_is_exact(tmp_path):
+    """NUTS sampling interrupted at a chunk boundary and resumed must
+    be bitwise-identical to both the checkpointed run and the plain
+    single-scan run (same key derivation)."""
+    import jax.numpy as jnp
+
+    from gpmp_tpu.mcmc import nuts_sample, nuts_resume
+    from gpmp_tpu.mcmc.nuts import NUTSOptions
+
+    def log_prob(q):
+        return -0.5 * jnp.sum(q**2 / jnp.asarray([0.5, 2.0]))
+
+    q0 = np.zeros((2, 2))
+    common = dict(num_warmup=60, seed=11, verbose=0, progress=False,
+                  scan_sampling=True)
+
+    s_ref, _ = nuts_sample(log_prob, q0, 120, options=NUTSOptions(**common))
+
+    path = tmp_path / "nuts.npz"
+    opts = NUTSOptions(checkpoint_path=str(path), checkpoint_every=40,
+                       **common)
+    stash = []
+    import gpmp_tpu.mcmc.nuts as nuts_mod
+    orig_saver_factory = nuts_mod._make_nuts_saver
+
+    def stashing_factory(p, *args):
+        inner = orig_saver_factory(p, *args)
+
+        def save_fn(q, t_done):
+            inner(q, t_done)
+            sp = tmp_path / f"nuts_{t_done}.npz"
+            import shutil
+            shutil.copy(p, sp)
+            stash.append((t_done, sp))
+
+        return save_fn
+
+    nuts_mod._make_nuts_saver = stashing_factory
+    try:
+        s_a, _ = nuts_sample(log_prob, q0, 120, options=opts)
+    finally:
+        nuts_mod._make_nuts_saver = orig_saver_factory
+    np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_ref))
+    assert len(stash) == 3
+
+    t_mid, p_mid = stash[0]
+    assert t_mid == 40
+    s_b, info_b = nuts_resume(log_prob, str(p_mid), verbose=0)
+    np.testing.assert_array_equal(np.asarray(s_b), np.asarray(s_ref))
+    assert info_b["accept_stat"].shape == (120, 2)
