@@ -551,11 +551,42 @@ def select_parameters_with_reml(
     verbosity=0, *,
     bounds=None, bounds_auto=True, bounds_delta=10.0,
     method="SLSQP", method_options=None,
+    mesh=None, shard_block=256, init_subsample=2048,
 ):
-    """Select covariance parameters with REML."""
+    """Select covariance parameters with REML.
+
+    Large-n sharded mode (no reference counterpart): pass a
+    ``jax.sharding.Mesh`` (axis name 'shard') and the criterion becomes
+    ``gpmp_tpu.parallel.sharded_negative_log_restricted_likelihood`` --
+    the (n, n) covariance is row-sharded over the mesh and factored by
+    the distributed blocked Cholesky, so n is bounded by aggregate HBM.
+    When ``covparam0`` is None, the init heuristic runs on a
+    deterministic subsample of ``init_subsample`` points (the dense
+    heuristic would materialize the full gram).
+    """
+    criterion = negative_log_restricted_likelihood
+    if mesh is not None:
+        if dataloader is not None:
+            raise ValueError("mesh mode takes arrays, not a dataloader")
+        from gpmp_tpu.parallel.likelihood import (
+            sharded_negative_log_restricted_likelihood,
+        )
+
+        def criterion(model_, covparam_, xi_, zi_):
+            return sharded_negative_log_restricted_likelihood(
+                model_, covparam_, xi_, zi_, mesh, block=shard_block
+            )
+
+        if covparam0 is None:
+            n = xi.shape[0]
+            m = min(int(init_subsample), n)
+            idx = np.random.default_rng(0).permutation(n)[:m]
+            covparam0 = anisotropic_parameters_initial_guess(
+                model, gnp.asarray(xi)[idx], gnp.asarray(zi)[idx], None
+            )
     return select_parameters_with_criterion(
         model,
-        negative_log_restricted_likelihood,
+        criterion,
         xi=xi,
         zi=zi,
         dataloader=dataloader,

@@ -28,13 +28,31 @@ from gpmp_tpu.core.likelihood import _nan_to_inf
 from .chol import sharded_solve_and_logdet
 
 
-def _diag_correction(model, covparam, xi):
-    """Self-branch minus cross-branch diagonal: noise variance + nugget,
-    per point.  xi + 0*xi defeats the kernel's `y is x` identity test."""
-    d_self = model.covariance(xi, None, covparam, pairwise=True)
-    xi_c = xi + jnp.zeros_like(xi)
-    d_cross = model.covariance(xi, xi_c, covparam, pairwise=True)
-    return d_self - d_cross
+def _diag_correction(model, covparam, xi, block=256):
+    """Self-branch minus cross-branch diagonal (noise variance + nugget,
+    per point), computed EXACTLY from the full kernel in O(n block)
+    work.  The kernel's ``pairwise`` branch cannot be trusted here:
+    reference-convention kernels (e.g. reference example07) return
+    *prior* variances pairwise, excluding observation noise and nugget,
+    which would silently drop the noise diagonal from the sharded gram.
+    ``x + 0*x`` defeats the kernel's ``y is x`` identity test."""
+    n, d = xi.shape
+    b = min(block, n)
+    nb = -(-n // b)
+    npad = nb * b - n
+    xpad = (
+        jnp.concatenate([xi, jnp.tile(xi[:1], (npad, 1))], axis=0)
+        if npad else xi
+    )
+    xb = xpad.reshape(nb, b, d)
+
+    def one(xblk):
+        K_self = model.covariance(xblk, xblk, covparam)
+        xc = xblk + jnp.zeros_like(xblk)
+        K_cross = model.covariance(xblk, xc, covparam)
+        return jnp.diagonal(K_self) - jnp.diagonal(K_cross)
+
+    return lax.map(one, xb).reshape(-1)[:n]
 
 
 def sharded_covariance(model, covparam, xi, mesh, axis_name="shard"):
