@@ -156,9 +156,14 @@ def test_select_parameters_with_reml_mesh_mode():
     np.testing.assert_allclose(
         np.asarray(m1.covparam), np.asarray(m2.covparam), atol=2e-2
     )
-    # auto-init (subsampled heuristic) path runs
-    m3 = gp.Model(constant_mean, kernel)
+    # auto-init (subsampled heuristic) path: standard kernel whose
+    # parameterization the default init heuristic knows
+    def kernel_plain(x, y, param, pairwise=False):
+        return gp.kernel.maternp_covariance(x, y, p, param, pairwise)
+
+    m3 = gp.Model(constant_mean, kernel_plain)
     m3, _ = gp.kernel.select_parameters_with_reml(
-        m3, xi, zi, info=True, mesh=mesh, shard_block=64
+        m3, xi, zi, info=True, mesh=mesh, shard_block=64,
+        init_subsample=256,
     )
     assert np.all(np.isfinite(np.asarray(m3.covparam)))
