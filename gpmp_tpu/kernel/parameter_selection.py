@@ -318,6 +318,17 @@ def _autoselect_parameters_on_device(p0, criterion, bounds, info=False,
 
 
 # -------------------- high-level selection procedures ------------
+def _subsampled_initial_guess(model, xi, zi, init_subsample):
+    """Dense init heuristic on a deterministic subsample (mesh mode)."""
+    xi_, zi_ = gnp.asarray(xi), gnp.asarray(zi)
+    n = xi_.shape[0]
+    m = min(int(init_subsample), n)
+    idx = np.random.default_rng(0).permutation(n)[:m]
+    return anisotropic_parameters_initial_guess(
+        model, xi_[idx], zi_[idx].reshape(-1), None
+    )
+
+
 def select_parameters_with_criterion(
     model,
     criterion,
@@ -337,15 +348,39 @@ def select_parameters_with_criterion(
     batches_per_eval=0,
     method="SLSQP",
     method_options=None,
+    mesh=None,
+    shard_block=256,
+    init_subsample=2048,
 ):
     """Optimize model parameters under a user-supplied criterion;
     writes the optimum back into the model.  With info=True, returns a
-    diagnostics dict with history/timing/criterion callables."""
+    diagnostics dict with history/timing/criterion callables.
+
+    Large-n sharded mode (no reference counterpart): pass a
+    ``jax.sharding.Mesh`` (axis name 'shard') and the model is wrapped
+    in ``gpmp_tpu.parallel.ShardedModelView``, so any criterion built on
+    the model's likelihood methods row-shards the (n, n) covariance over
+    the mesh (distributed blocked Cholesky underneath).  When
+    ``covparam0`` is None, the init heuristic runs on a deterministic
+    subsample of ``init_subsample`` points (the dense heuristic would
+    materialize the full gram)."""
     if method_options is None:
         method_options = {}
 
     tic = time.time()
     _source = check_xi_zi_or_loader(xi, zi, dataloader)
+
+    base_model = model
+    if mesh is not None:
+        if dataloader is not None:
+            raise ValueError("mesh mode takes arrays, not a dataloader")
+        from gpmp_tpu.parallel.view import ShardedModelView
+
+        model = ShardedModelView(base_model, mesh, block=shard_block)
+        if covparam0 is None:
+            covparam0 = _subsampled_initial_guess(
+                base_model, xi, zi, init_subsample
+            )
 
     if covparam0 is None:
         covparam0 = anisotropic_parameters_initial_guess(model, xi, zi, dataloader)
@@ -407,8 +442,8 @@ def select_parameters_with_criterion(
         info_ret["selection_criterion"] = crit
         info_ret["selection_criterion_nograd"] = crit_no_grad
         info_ret["time"] = time.time() - tic
-        return model, info_ret
-    return model, None
+        return base_model, info_ret
+    return base_model, None
 
 
 def update_parameters_with_criterion(
@@ -564,29 +599,14 @@ def select_parameters_with_reml(
     deterministic subsample of ``init_subsample`` points (the dense
     heuristic would materialize the full gram).
     """
-    criterion = negative_log_restricted_likelihood
-    if mesh is not None:
-        if dataloader is not None:
-            raise ValueError("mesh mode takes arrays, not a dataloader")
-        from gpmp_tpu.parallel.likelihood import (
-            sharded_negative_log_restricted_likelihood,
-        )
+    # route through the METHOD so a ShardedModelView (mesh mode) can
+    # intercept; identical to the module function on a plain Model
+    def _reml_criterion(m, covparam, x, z):
+        return m.negative_log_restricted_likelihood(covparam, x, z)
 
-        def criterion(model_, covparam_, xi_, zi_):
-            return sharded_negative_log_restricted_likelihood(
-                model_, covparam_, xi_, zi_, mesh, block=shard_block
-            )
-
-        if covparam0 is None:
-            n = xi.shape[0]
-            m = min(int(init_subsample), n)
-            idx = np.random.default_rng(0).permutation(n)[:m]
-            covparam0 = anisotropic_parameters_initial_guess(
-                model, gnp.asarray(xi)[idx], gnp.asarray(zi)[idx], None
-            )
     return select_parameters_with_criterion(
         model,
-        criterion,
+        _reml_criterion,
         xi=xi,
         zi=zi,
         dataloader=dataloader,
@@ -598,6 +618,9 @@ def select_parameters_with_reml(
         bounds_delta=bounds_delta,
         method=method,
         method_options=method_options,
+        mesh=mesh,
+        shard_block=shard_block,
+        init_subsample=init_subsample,
     )
 
 
@@ -800,9 +823,18 @@ def select_parameters_with_remap_gaussian_logsigma2_and_logrho_prior(
     covparam0_init=None,
     bounds=None, bounds_auto=True, bounds_delta=10.0,
     method="SLSQP", method_options=None,
+    mesh=None, shard_block=256, init_subsample=2048,
 ):
     """Default REMAP: REML + Gaussian log-sigma2 prior + barrier/linear
-    logrho prior (reference parameter_selection.py:1301-1483)."""
+    logrho prior (reference parameter_selection.py:1301-1483).
+
+    Mesh mode (``mesh=`` a jax.sharding.Mesh): the model is wrapped in
+    ShardedModelView so the REML term row-shards over the mesh; the
+    prior-anchor heuristics run on a deterministic subsample of
+    ``init_subsample`` points (they would otherwise build the full
+    gram), while logrho_min keeps the full xi (O(n log n))."""
+    if mesh is not None and covparam0 is None and covparam0_prior is None:
+        covparam0 = _subsampled_initial_guess(model, xi, zi, init_subsample)
     covparam0_prior, covparam0_init = resolve_covparam0_prior_and_init(
         model,
         xi=xi,
@@ -861,6 +893,9 @@ def select_parameters_with_remap_gaussian_logsigma2_and_logrho_prior(
         bounds_delta=bounds_delta,
         method=method,
         method_options=method_options,
+        mesh=mesh,
+        shard_block=shard_block,
+        init_subsample=init_subsample,
     )
 
 

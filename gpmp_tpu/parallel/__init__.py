@@ -32,6 +32,7 @@ from .predict import (
     sharded_sample_paths,
 )
 from .loo import sharded_loo
+from .view import ShardedModelView
 
 __all__ = [
     "make_mesh",
@@ -51,6 +52,7 @@ __all__ = [
     "sharded_predict",
     "sharded_cross_covariance",
     "sharded_loo",
+    "ShardedModelView",
     "sharded_kriging_weights",
     "sharded_sample_paths",
 ]

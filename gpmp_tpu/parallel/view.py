@@ -1,0 +1,105 @@
+# gpmp_tpu/parallel/view.py
+"""ShardedModelView: a Model proxy whose O(n^2)-memory operations run
+mesh-sharded.
+
+No reference counterpart (the reference is single-process, SURVEY.md
+section 2.7).  The view delegates every attribute -- including writes,
+so parameter selection through the view updates the underlying model --
+and overrides exactly the methods whose dense implementations would
+materialize the full (n, n) covariance on one chip:
+
+  negative_log_restricted_likelihood / negative_log_likelihood* ->
+      gpmp_tpu.parallel.likelihood
+  predict -> gpmp_tpu.parallel.predict.sharded_predict
+  loo     -> gpmp_tpu.parallel.loo.sharded_loo
+
+The high-level selection procedures accept ``mesh=`` and wrap the model
+in this view, so criteria, posterior-sampling bridges and diagnostics
+built from the returned ``info`` all evaluate sharded.
+"""
+
+import gpmp_tpu.num as gnp
+
+from .likelihood import (
+    sharded_negative_log_likelihood_zero_mean,
+    sharded_negative_log_restricted_likelihood,
+)
+from .loo import sharded_loo
+from .predict import sharded_predict
+
+
+class ShardedModelView:
+    """Proxy of a gpmp_tpu Model with mesh-sharded hot methods."""
+
+    _OWN = ("_model", "_mesh", "_axis_name", "_block")
+
+    def __init__(self, model, mesh, axis_name="shard", block=256):
+        object.__setattr__(self, "_model", model)
+        object.__setattr__(self, "_mesh", mesh)
+        object.__setattr__(self, "_axis_name", axis_name)
+        object.__setattr__(self, "_block", block)
+
+    # -- transparent delegation (writes reach the underlying model) ----
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_model"), name)
+
+    def __setattr__(self, name, value):
+        if name in self._OWN:
+            object.__setattr__(self, name, value)
+        else:
+            setattr(object.__getattribute__(self, "_model"), name, value)
+
+    def __repr__(self):
+        return (
+            f"ShardedModelView({self._model!r}, "
+            f"mesh={tuple(self._mesh.shape.items())}, block={self._block})"
+        )
+
+    # -- sharded overrides ---------------------------------------------
+    def negative_log_restricted_likelihood(self, covparam, xi, zi,
+                                           impl="profiled"):
+        if impl != "profiled":
+            raise NotImplementedError(
+                "the sharded REML is profiled-only (contrast space would "
+                "need a distributed complete QR)"
+            )
+        return sharded_negative_log_restricted_likelihood(
+            self._model, covparam, xi, zi, self._mesh,
+            axis_name=self._axis_name, block=self._block,
+        )
+
+    def negative_log_likelihood_zero_mean(self, covparam, xi, zi):
+        return sharded_negative_log_likelihood_zero_mean(
+            self._model, covparam, xi, zi, self._mesh,
+            axis_name=self._axis_name, block=self._block,
+        )
+
+    def negative_log_likelihood(self, meanparam, covparam, xi, zi):
+        zi_prior_mean = self._model.mean(xi, meanparam).reshape(-1)
+        centered = gnp.asarray(zi).reshape(-1) - zi_prior_mean
+        return self.negative_log_likelihood_zero_mean(covparam, xi, centered)
+
+    def predict(self, xi, zi, xt, **kwargs):
+        convert_out = kwargs.pop("convert_out", False)
+        unsupported = {
+            k: v for k, v in kwargs.items()
+            if k == "return_lambdas" and v
+        }
+        if unsupported:
+            raise NotImplementedError(
+                "return_lambdas is not supported by the sharded predict "
+                "(the (n, nt) weight matrix would be gathered to one chip)"
+            )
+        zpm, zpv = sharded_predict(
+            self._model, xi, zi, xt, self._mesh,
+            axis_name=self._axis_name, block=self._block,
+        )
+        if convert_out:
+            return gnp.to_np(zpm), gnp.to_np(zpv)
+        return zpm, zpv
+
+    def loo(self, xi, zi, **_kwargs):
+        return sharded_loo(
+            self._model, xi, zi, self._mesh,
+            axis_name=self._axis_name, block=self._block,
+        )

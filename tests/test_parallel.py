@@ -167,3 +167,49 @@ def test_select_parameters_with_reml_mesh_mode():
         init_subsample=256,
     )
     assert np.all(np.isfinite(np.asarray(m3.covparam)))
+
+
+def test_remap_mesh_mode_and_view():
+    """REMAP with mesh= matches the dense REMAP; predict/loo through
+    ShardedModelView match the dense model."""
+    import gpmp_tpu as gp
+    from gpmp_tpu.parallel import ShardedModelView
+    from gpmp_tpu.parallel.mesh import make_mesh
+
+    n, d = 512, 3
+    rng = np.random.default_rng(0)
+    xi_np = rng.uniform(size=(n, d))
+    zi_np = (
+        np.sin(4 * xi_np[:, 0]) + 0.7 * np.cos(6 * xi_np[:, 1])
+        + 0.05 * rng.normal(size=n)
+    )
+
+    def constant_mean(x, param):
+        return gnp.ones((x.shape[0], 1))
+
+    def kernel(x, y, covparam, pairwise=False):
+        return gp.kernel.maternp_covariance(x, y, 2, covparam, pairwise)
+
+    xi, zi = gnp.asarray(xi_np), gnp.asarray(zi_np)
+    mesh = make_mesh(8, axis_name="shard")
+
+    m1 = gp.Model(constant_mean, kernel)
+    m1, i1 = gp.kernel.select_parameters_with_remap(m1, xi, zi, info=True)
+    m2 = gp.Model(constant_mean, kernel)
+    m2, i2 = gp.kernel.select_parameters_with_remap(
+        m2, xi, zi, info=True, mesh=mesh, shard_block=64
+    )
+    assert not isinstance(m2, ShardedModelView)  # unwrapped on return
+    assert abs(float(i1.fun) - float(i2.fun)) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(m1.covparam), np.asarray(m2.covparam), atol=2e-2
+    )
+
+    view = ShardedModelView(m2, mesh, block=64)
+    zp1, zv1 = m1.predict(xi, zi, xi[:64])
+    zp2, zv2 = view.predict(xi, zi, xi[:64])
+    np.testing.assert_allclose(np.asarray(zp1), np.asarray(zp2), atol=1e-8)
+    zl1 = m1.loo(xi, zi)
+    zl2 = view.loo(xi, zi)
+    for a, b in zip(zl1, zl2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
