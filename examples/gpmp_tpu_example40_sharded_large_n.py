@@ -15,7 +15,6 @@ On a TPU pod slice, the same code scales n to the aggregate HBM.
 """
 
 import numpy as np
-from scipy.optimize import minimize
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +72,21 @@ def main(show=False, n=N, nt=NT, block=BLOCK):
     xi, zi, xt, zt_true = generate_data(n=n, nt=nt)
     model = gp.Model(constant_mean, kernel)
 
+    # high-level fit: mesh= routes the REML criterion through
+    # ShardedModelView (row-sharded gram + distributed blocked Cholesky)
+    zi_np = np.asarray(zi)
+    p0 = np.concatenate(
+        [[np.log(np.var(zi_np))], [2 * np.log(0.05)],
+         -np.log(np.std(np.asarray(xi), axis=0))]
+    )
+    model, info = gp.kernel.select_parameters_with_reml(
+        model, xi, zi, covparam0=gnp.asarray(p0), info=True,
+        mesh=mesh, shard_block=block, method="L-BFGS-B",
+    )
+    print("REML optimum:", np.round(np.asarray(model.covparam), 4),
+          "| nll:", round(float(info.fun), 3))
+
+    # the low-level criterion remains available for custom optimizers:
     vg = jax.jit(
         jax.value_and_grad(
             lambda p: sharded_negative_log_restricted_likelihood(
@@ -80,21 +94,8 @@ def main(show=False, n=N, nt=NT, block=BLOCK):
             )
         )
     )
-
-    zi_np = np.asarray(zi)
-    p0 = np.concatenate(
-        [[np.log(np.var(zi_np))], [2 * np.log(0.05)],
-         -np.log(np.std(np.asarray(xi), axis=0))]
-    )
-
-    def fun(p):
-        v, g = vg(jnp.asarray(p))
-        v = float(v)
-        return (np.inf if np.isnan(v) else v), np.asarray(g)
-
-    res = minimize(fun, p0, jac=True, method="L-BFGS-B")
-    model.covparam = gnp.asarray(res.x)
-    print("REML optimum:", np.round(res.x, 4), "| nll:", round(res.fun, 3))
+    v0, _g0 = vg(gnp.asarray(model.covparam))
+    assert abs(float(v0) - float(info.fun)) < 1e-6
 
     zpm, zpv = sharded_predict(model, xi, zi, xt, mesh, block=block)
     zpm, zpv = np.asarray(zpm), np.asarray(zpv)
