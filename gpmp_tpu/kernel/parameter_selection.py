@@ -461,6 +461,8 @@ def update_parameters_with_criterion(
     bounds_delta=10.0,
     method="SLSQP",
     method_options=None,
+    mesh=None,
+    shard_block=256,
 ):
     """Re-optimize from the current model parameters."""
     return select_parameters_with_criterion(
@@ -480,6 +482,8 @@ def update_parameters_with_criterion(
         bounds_delta=bounds_delta,
         method=method,
         method_options=method_options,
+        mesh=mesh,
+        shard_block=shard_block,
     )
 
 
@@ -628,10 +632,14 @@ def update_parameters_with_reml(
     model, xi=None, zi=None, dataloader=None, info=False, *,
     bounds=None, bounds_auto=True, bounds_delta=10.0,
     method="SLSQP", method_options=None,
+    mesh=None, shard_block=256,
 ):
+    def _reml_criterion(m, covparam, x, z):
+        return m.negative_log_restricted_likelihood(covparam, x, z)
+
     return update_parameters_with_criterion(
         model,
-        negative_log_restricted_likelihood,
+        _reml_criterion,
         xi=xi,
         zi=zi,
         dataloader=dataloader,
@@ -641,6 +649,8 @@ def update_parameters_with_reml(
         bounds_delta=bounds_delta,
         method=method,
         method_options=method_options,
+        mesh=mesh,
+        shard_block=shard_block,
     )
 
 
@@ -907,6 +917,7 @@ def update_parameters_with_remap_gaussian_logsigma2_and_logrho_prior(
     prior_log_sigma2_0=None, prior_logrho_0=None, prior_alpha=None,
     bounds=None, bounds_auto=True, bounds_delta=10.0,
     method="SLSQP", method_options=None,
+    mesh=None, shard_block=256,
 ):
     covparam0_prior, covparam0_init = resolve_covparam0_roles_for_update(
         model,
@@ -939,4 +950,6 @@ def update_parameters_with_remap_gaussian_logsigma2_and_logrho_prior(
         bounds_delta=bounds_delta,
         method=method,
         method_options=method_options,
+        mesh=mesh,
+        shard_block=shard_block,
     )
