@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 import gpmp_tpu.num as gnp
+from gpmp_tpu.config import get_logger
 
 
 def sample_multivariate_normal_with_jitter(mean, cov, initial_jitter=1e-8,
@@ -91,6 +92,15 @@ class MHOptions:
     # MetropolisHastings.restore_checkpoint + continue_run
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 10
+    # burn-in dispatch granularity: with blocks_per_dispatch > 1 (and
+    # Haario adaptation), K adaptation blocks run as ONE device program
+    # with the covariance adaptation in-graph -- K-fold fewer host
+    # round-trips, which dominates burn-in wall-clock on high-latency
+    # links.  Host-side diagnostics (early stopping, checkpointing)
+    # run between dispatches.  Statistically equivalent to the default
+    # (the per-block key streams are identical); not bitwise (device
+    # covariance reductions vs numpy).  No reference counterpart.
+    blocks_per_dispatch: int = 1
 
     def __post_init__(self):
         if self.proposal_distribution_param_init is None:
@@ -145,6 +155,8 @@ class MetropolisHastings:
             else int(np.random.default_rng().integers(2**31))
         )
         self._block_kernel = None
+        self._multiblock_kernel = None
+        self._multiblock_size = None
         self._blocks_since_checkpoint = 0
         self._vmapped_logtarget = jax.jit(jax.vmap(self._safe_log_target))
         self._chain_sharding = None
@@ -406,6 +418,107 @@ class MetropolisHastings:
             )
         self._maybe_checkpoint()
 
+    # ------------------------------------------------------------------
+    # multi-block device kernel (blocks_per_dispatch > 1)
+    # ------------------------------------------------------------------
+    def _get_multiblock_kernel(self, n_block_size):
+        """Jitted scan-of-scans: K Haario adaptation blocks per dispatch
+        with the covariance adaptation in-graph."""
+        if (
+            self._multiblock_kernel is not None
+            and self._multiblock_size == n_block_size
+        ):
+            return self._multiblock_kernel
+
+        safe_lt = self._safe_log_target
+        n_pool = self.options.n_pool
+        n_groups = self.n_chains // n_pool
+        dim = self.dim
+        target = self.target_acceptance
+        grp_idx = jnp.arange(self.n_chains) // n_pool
+        eps_eye = 1e-6 * jnp.eye(dim)
+        m_samples = n_pool * n_block_size
+
+        def multi(x0, lt0, cov0, scal0, keys, h):
+            def block_body(carry, keys_b):
+                x, lt, cov, scal = carry
+                chols = jnp.linalg.cholesky(cov)
+
+                def step2(c2, key):
+                    xx, ll = c2
+                    k_prop, k_u = jax.random.split(key)
+                    eps = jax.random.normal(k_prop, xx.shape, dtype=xx.dtype)
+                    y = xx + jnp.einsum("cij,cj->ci", chols, eps)
+                    lt_y = jax.vmap(safe_lt)(y)
+                    log_a = lt_y - ll
+                    u = jnp.maximum(
+                        jax.random.uniform(k_u, (xx.shape[0],),
+                                           dtype=xx.dtype), 1e-300
+                    )
+                    accept = jnp.log(u) < log_a
+                    x_new = jnp.where(accept[:, None], y, xx)
+                    lt_new = jnp.where(accept, lt_y, ll)
+                    return (x_new, lt_new), (x_new, accept, lt_new)
+
+                (xf, ltf), (xs, acc, lts) = lax.scan(step2, (x, lt), keys_b)
+                rates = jnp.mean(acc, axis=0)  # (C,)
+                # pooled empirical covariance per chain group (ddof=1),
+                # mirroring _compute_covariances_for_block
+                Xg = xs.transpose(1, 0, 2).reshape(
+                    n_groups, m_samples, dim
+                )
+                Xc = Xg - jnp.mean(Xg, axis=1, keepdims=True)
+                emp = jnp.einsum("gnd,gne->gde", Xc, Xc) / (m_samples - 1)
+                scal2 = scal * jnp.exp(h * (rates - target))
+                cov2 = scal2[:, None, None] * emp[grp_idx] + eps_eye
+                return (xf, ltf, cov2, scal2), (xs, acc, lts)
+
+            return lax.scan(
+                block_body, (x0, lt0, cov0, scal0), keys
+            )
+
+        self._multiblock_kernel = jax.jit(multi)
+        self._multiblock_size = n_block_size
+        return self._multiblock_kernel
+
+    def run_adaptive_Haario_blocks(self, n_blocks, n_block_size):
+        """n_blocks Haario adaptation blocks in one device dispatch."""
+        C, d = self.n_chains, self.dim
+        subs = []
+        for _ in range(n_blocks):
+            self._key, sub = jax.random.split(self._key)
+            subs.append(jax.random.split(sub, n_block_size))
+        keys = jnp.stack(subs)  # (K, block, 2)
+
+        x0 = jnp.asarray(self.x[:, self.global_iter, :])
+        lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
+        lt0 = jnp.where(jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0)
+        cov0 = jnp.stack(
+            [self._get_cov_parameter(c) for c in range(C)]
+        )
+        scal0 = jnp.asarray(self.haario_scaling_factors)
+
+        kern = self._get_multiblock_kernel(n_block_size)
+        (xf, ltf, covf, scalf), (xs, acc, lts) = kern(
+            x0, lt0, cov0, scal0, keys,
+            jnp.asarray(float(self.haario_adapt_factor)),
+        )
+
+        n_tot = n_blocks * n_block_size
+        i0 = self.global_iter + 1
+        xs = np.asarray(xs).reshape(n_tot, C, d)
+        acc = np.asarray(acc).reshape(n_tot, C)
+        lts = np.asarray(lts).reshape(n_tot, C)
+        self.x[:, i0 : i0 + n_tot, :] = np.swapaxes(xs, 0, 1)
+        self.accept[:, i0 : i0 + n_tot] = np.swapaxes(acc, 0, 1)
+        self.log_target_values[:, i0 : i0 + n_tot] = np.swapaxes(lts, 0, 1)
+        self.global_iter += n_tot
+        self.proposal_distribution_params = [
+            np.asarray(covf[c]) for c in range(C)
+        ]
+        self.haario_scaling_factors = np.asarray(scalf)
+        self._maybe_checkpoint()
+
     def _maybe_checkpoint(self):
         """Periodic checkpoint at adaptation-block boundaries (AFTER the
         proposal update, so a resumed run replays the exact state the
@@ -424,6 +537,16 @@ class MetropolisHastings:
         n_blocks = n_samples // self.options.adaptation_interval
         remainder = n_samples - n_blocks * self.options.adaptation_interval
         method = self.options.adaptation_method.lower()
+        K = max(1, int(self.options.blocks_per_dispatch))
+        if K > 1 and method == "haario":
+            block = 0
+            while block < n_blocks:
+                k = min(K, n_blocks - block)
+                self.run_adaptive_Haario_blocks(
+                    k, self.options.adaptation_interval
+                )
+                block += k
+            n_blocks = 0
         for _ in range(n_blocks):
             if method == "rm":
                 self.run_adaptive_RM(self.options.adaptation_interval,
@@ -458,12 +581,29 @@ class MetropolisHastings:
         n_diag_samples = n_blocks_convergence_diag * self.options.adaptation_interval
         converged_early = False
 
-        for _block in range(n_blocks):
-            if method == "rm":
+        K = max(1, int(self.options.blocks_per_dispatch))
+        if K > 1 and method != "haario":
+            get_logger().warning(
+                "blocks_per_dispatch > 1 requires Haario adaptation; "
+                "falling back to one block per dispatch."
+            )
+            K = 1
+
+        block = 0
+        while block < n_blocks:
+            if K > 1:
+                k = min(K, n_blocks - block)
+                self.run_adaptive_Haario_blocks(
+                    k, self.options.adaptation_interval
+                )
+                block += k
+            elif method == "rm":
                 self.run_adaptive_RM(self.options.adaptation_interval,
                                      diminishing=self.options.RM_diminishing)
+                block += 1
             elif method == "haario":
                 self.run_adaptive_Haario(self.options.adaptation_interval)
+                block += 1
             else:
                 raise ValueError("adaptation_method must be 'RM' or 'Haario'.")
 

@@ -198,3 +198,29 @@ def test_nuts_resume_is_exact(tmp_path):
     s_b, info_b = nuts_resume(log_prob, str(p_mid), verbose=0)
     np.testing.assert_array_equal(np.asarray(s_b), np.asarray(s_ref))
     assert info_b["accept_stat"].shape == (120, 2)
+
+
+def test_mh_blocks_per_dispatch_equivalent():
+    """blocks_per_dispatch>1 (in-graph Haario, one dispatch per K
+    blocks) matches the per-block host-adaptation path."""
+
+    def lt(x):
+        return -0.5 * ((x[0] + 1.0) ** 2 / 0.5 + (x[1] - 2.0) ** 2 / 2.0)
+
+    def run(K):
+        o = MHOptions(dim=2, n_chains=4, seed=5, adaptation_interval=25,
+                      init_msg=None, blocks_per_dispatch=K)
+        mh = MetropolisHastings(lt, options=o)
+        out = np.asarray(mh.scheduler(np.zeros(2), 4000, 1500))
+        return out[:, 1500:, :].reshape(-1, 2)
+
+    s1 = run(1)
+    sK = run(8)
+    # same key streams; device vs numpy covariance reductions differ at
+    # ~1e-16 so a few late accept decisions may flip -- moments agree to
+    # ~1e-4, far inside Monte-Carlo noise
+    np.testing.assert_allclose(s1.mean(axis=0), sK.mean(axis=0), atol=1e-2)
+    np.testing.assert_allclose(s1.var(axis=0), sK.var(axis=0), rtol=1e-2)
+    # and be sane vs the true target N([-1,2], diag(0.5,2))
+    np.testing.assert_allclose(sK.mean(axis=0), [-1.0, 2.0], atol=0.3)
+    np.testing.assert_allclose(sK.var(axis=0), [0.5, 2.0], rtol=0.6)
