@@ -238,10 +238,14 @@ def sample_from_selection_criterion_mh(
     random_init=False, init_box=None, sampling_box=None, temperature=1.0,
     n_steps_total=10_000, burnin_period=4_000, n_chains=2, n_pool=2,
     silent=False, show_progress=True, plot_chains=True,
-    plot_empirical_distributions=True, seed=None,
+    plot_empirical_distributions=True, seed=None, blocks_per_dispatch=1,
 ):
     """Adaptive MH on log_target = -J/T (Haario, target acceptance 0.3,
-    adapt interval 50).  Returns (samples_post_burnin, mh)."""
+    adapt interval 50).  Returns (samples_post_burnin, mh).
+
+    blocks_per_dispatch > 1 runs K adaptation blocks per device dispatch
+    with in-graph Haario updates (MHOptions.blocks_per_dispatch) --
+    recommended on high-latency device links."""
     crit = _resolve_selection_criterion(info, selection_criterion,
                                         require_differentiable=False)
     dim_box = init_box if init_box is not None else sampling_box
@@ -282,6 +286,7 @@ def sample_from_selection_criterion_mh(
         freeze_adaptation=False,
         discard_burnin=False,
         n_pool=n_pool,
+        blocks_per_dispatch=blocks_per_dispatch,
         show_global_progress=show_prog,
         init_msg=(
             None if silent
