@@ -146,7 +146,10 @@ def autoselect_parameters(
         if J < best_criterion:
             best_criterion, best_params = J, np.array(p, copy=True)
 
+    warned_initial_inf = False
+
     def criterion_with_history(p):
+        nonlocal warned_initial_inf
         try:
             J = float(criterion(p))
         except Exception as exc:
@@ -154,6 +157,22 @@ def autoselect_parameters(
                 J = np.inf
             else:
                 raise
+        if (
+            not warned_initial_inf
+            and not history_criterion
+            and not np.isfinite(J)
+        ):
+            warned_initial_inf = True
+            from gpmp_tpu.config import get_logger
+
+            get_logger().warning(
+                "Selection criterion is +inf at the initial point "
+                "(covariance not factorizable there: likely an "
+                "ill-conditioned noise-free kernel or a bad covparam0); "
+                "the optimizer cannot make progress from +inf. Consider "
+                "an observation-noise term, a better covparam0, or "
+                "GPMP_CHOL_ENGINE=f64."
+            )
         record(p, J)
         return J
 
