@@ -14,8 +14,13 @@ TPU-native re-design of the reference configuration layer
 - device: "tpu" / "cpu" / "gpu"; defaults to whatever JAX selects.
 
 Environment variables honored at import time:
-  GPMP_DTYPE      "float64" (default) or "float32"
-  GPMP_LOG_LEVEL  standard logging level name
+  GPMP_DTYPE          "float64" (default) or "float32"
+  GPMP_LOG_LEVEL      standard logging level name
+  GPMP_CHOL_ENGINE    "auto" (default, = f64) / "f64" / "mixed" -- the
+                      Cholesky engine for hot-path solves (read at jit
+                      trace time, so it can be flipped between fits)
+  GPMP_COMPILE_CACHE  persistent XLA compilation cache directory
+                      (default ~/.cache/gpmp_tpu/xla; "0" disables)
 """
 
 from __future__ import annotations
