@@ -81,10 +81,16 @@ class Model:
     # jit plumbing
     # ------------------------------------------------------------------
     def _jitted(self, name, builder):
-        fn = self._jit_cache.get(name)
+        # the Cholesky engine is read at trace time, so it is part of
+        # the cache key: flipping GPMP_CHOL_ENGINE between calls
+        # retraces instead of silently reusing the old engine's program
+        from .linalg import chol_engine
+
+        key = (name, chol_engine())
+        fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(builder())
-            self._jit_cache[name] = fn
+            self._jit_cache[key] = fn
         return fn
 
     def _params(self):
