@@ -368,7 +368,7 @@ def select_parameters_with_criterion(
     method="SLSQP",
     method_options=None,
     mesh=None,
-    shard_block=256,
+    shard_block=None,
     init_subsample=2048,
 ):
     """Optimize model parameters under a user-supplied criterion;
@@ -481,7 +481,7 @@ def update_parameters_with_criterion(
     method="SLSQP",
     method_options=None,
     mesh=None,
-    shard_block=256,
+    shard_block=None,
 ):
     """Re-optimize from the current model parameters."""
     return select_parameters_with_criterion(
@@ -609,7 +609,7 @@ def select_parameters_with_reml(
     verbosity=0, *,
     bounds=None, bounds_auto=True, bounds_delta=10.0,
     method="SLSQP", method_options=None,
-    mesh=None, shard_block=256, init_subsample=2048,
+    mesh=None, shard_block=None, init_subsample=2048,
 ):
     """Select covariance parameters with REML.
 
@@ -651,7 +651,7 @@ def update_parameters_with_reml(
     model, xi=None, zi=None, dataloader=None, info=False, *,
     bounds=None, bounds_auto=True, bounds_delta=10.0,
     method="SLSQP", method_options=None,
-    mesh=None, shard_block=256,
+    mesh=None, shard_block=None,
 ):
     def _reml_criterion(m, covparam, x, z):
         return m.negative_log_restricted_likelihood(covparam, x, z)
@@ -852,7 +852,7 @@ def select_parameters_with_remap_gaussian_logsigma2_and_logrho_prior(
     covparam0_init=None,
     bounds=None, bounds_auto=True, bounds_delta=10.0,
     method="SLSQP", method_options=None,
-    mesh=None, shard_block=256, init_subsample=2048,
+    mesh=None, shard_block=None, init_subsample=2048,
 ):
     """Default REMAP: REML + Gaussian log-sigma2 prior + barrier/linear
     logrho prior (reference parameter_selection.py:1301-1483).
@@ -936,7 +936,7 @@ def update_parameters_with_remap_gaussian_logsigma2_and_logrho_prior(
     prior_log_sigma2_0=None, prior_logrho_0=None, prior_alpha=None,
     bounds=None, bounds_auto=True, bounds_delta=10.0,
     method="SLSQP", method_options=None,
-    mesh=None, shard_block=256,
+    mesh=None, shard_block=None,
 ):
     covparam0_prior, covparam0_init = resolve_covparam0_roles_for_update(
         model,

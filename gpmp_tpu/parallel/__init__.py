@@ -32,7 +32,7 @@ from .predict import (
     sharded_sample_paths,
 )
 from .loo import sharded_loo
-from .view import ShardedModelView
+from .view import ShardedModelView, auto_shard_block
 
 __all__ = [
     "make_mesh",
@@ -53,6 +53,7 @@ __all__ = [
     "sharded_cross_covariance",
     "sharded_loo",
     "ShardedModelView",
+    "auto_shard_block",
     "sharded_kriging_weights",
     "sharded_sample_paths",
 ]

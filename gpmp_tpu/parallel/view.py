@@ -28,16 +28,41 @@ from .loo import sharded_loo
 from .predict import sharded_predict
 
 
+def auto_shard_block(n, mesh, axis_name="shard", cap=512):
+    """Largest panel size <= cap that divides the per-device row count.
+
+    Measured on a TPU v5e at n=4096 (BENCHMARKS.md): 512 beats both
+    smaller panels (more sequential panel latency) and larger ones
+    (panel work too big); the divisibility walk keeps the distributed
+    Cholesky's layout constraints satisfied for any mesh size.
+    """
+    n_dev = mesh.shape[axis_name]
+    n_loc = max(1, n // n_dev)
+    b = min(int(cap), n_loc)
+    while b > 1 and n_loc % b != 0:
+        b -= 1
+    return max(1, b)
+
+
 class ShardedModelView:
-    """Proxy of a gpmp_tpu Model with mesh-sharded hot methods."""
+    """Proxy of a gpmp_tpu Model with mesh-sharded hot methods.
+
+    ``block=None`` (default) picks the panel size per call via
+    auto_shard_block.
+    """
 
     _OWN = ("_model", "_mesh", "_axis_name", "_block")
 
-    def __init__(self, model, mesh, axis_name="shard", block=256):
+    def __init__(self, model, mesh, axis_name="shard", block=None):
         object.__setattr__(self, "_model", model)
         object.__setattr__(self, "_mesh", mesh)
         object.__setattr__(self, "_axis_name", axis_name)
         object.__setattr__(self, "_block", block)
+
+    def _block_for(self, n):
+        if self._block is not None:
+            return self._block
+        return auto_shard_block(n, self._mesh, self._axis_name)
 
     # -- transparent delegation (writes reach the underlying model) ----
     def __getattr__(self, name):
@@ -65,13 +90,13 @@ class ShardedModelView:
             )
         return sharded_negative_log_restricted_likelihood(
             self._model, covparam, xi, zi, self._mesh,
-            axis_name=self._axis_name, block=self._block,
+            axis_name=self._axis_name, block=self._block_for(xi.shape[0]),
         )
 
     def negative_log_likelihood_zero_mean(self, covparam, xi, zi):
         return sharded_negative_log_likelihood_zero_mean(
             self._model, covparam, xi, zi, self._mesh,
-            axis_name=self._axis_name, block=self._block,
+            axis_name=self._axis_name, block=self._block_for(xi.shape[0]),
         )
 
     def negative_log_likelihood(self, meanparam, covparam, xi, zi):
@@ -92,7 +117,7 @@ class ShardedModelView:
             )
         zpm, zpv = sharded_predict(
             self._model, xi, zi, xt, self._mesh,
-            axis_name=self._axis_name, block=self._block,
+            axis_name=self._axis_name, block=self._block_for(xi.shape[0]),
         )
         if convert_out:
             return gnp.to_np(zpm), gnp.to_np(zpv)
@@ -101,5 +126,7 @@ class ShardedModelView:
     def loo(self, xi, zi, **_kwargs):
         return sharded_loo(
             self._model, xi, zi, self._mesh,
-            axis_name=self._axis_name, block=self._block,
+            axis_name=self._axis_name, block=self._block_for(
+                gnp.asarray(xi).shape[0]
+            ),
         )
