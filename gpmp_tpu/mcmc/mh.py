@@ -92,6 +92,11 @@ class MHOptions:
     # MetropolisHastings.restore_checkpoint + continue_run
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 10
+    # frozen-phase dispatch ceiling: run_samples splits requests larger
+    # than this into multiple scans (bounds single-program device time
+    # and gives the checkpoint hook periodic boundaries on long runs;
+    # the key stream is the same as calling run_samples repeatedly)
+    max_steps_per_dispatch: int = 20_000
     # burn-in dispatch granularity: with blocks_per_dispatch > 1 (and
     # Haario adaptation), K adaptation blocks run as ONE device program
     # with the covariance adaptation in-graph -- K-fold fewer host
@@ -259,6 +264,16 @@ class MetropolisHastings:
         per-chain block acceptance rates."""
         if n_steps <= 0:
             return np.zeros(self.n_chains)
+        cap = max(1, int(self.options.max_steps_per_dispatch))
+        if n_steps > cap:
+            rates_sum = np.zeros(self.n_chains)
+            done = 0
+            while done < n_steps:
+                k = min(cap, n_steps - done)
+                rates_sum += self.run_samples(k, show_global_progress) * k
+                done += k
+                self._maybe_checkpoint()
+            return rates_sum / n_steps
         i0 = self.global_iter + 1
         kernel = self._get_block_kernel()
         chols = self._proposal_chols()
