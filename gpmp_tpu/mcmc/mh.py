@@ -97,11 +97,10 @@ class MHOptions:
     # and gives the checkpoint hook periodic boundaries on long runs;
     # the key stream is the same as calling run_samples repeatedly)
     max_steps_per_dispatch: int = 20_000
-    # burn-in dispatch granularity: with blocks_per_dispatch > 1 (and
-    # Haario adaptation), K adaptation blocks run as ONE device program
-    # with the covariance adaptation in-graph -- K-fold fewer host
-    # round-trips, which dominates burn-in wall-clock on high-latency
-    # links.  Host-side diagnostics (early stopping, checkpointing)
+    # burn-in dispatch granularity: with blocks_per_dispatch > 1, K
+    # adaptation blocks (Haario or RM) run as ONE device program with
+    # the adaptation in-graph -- K-fold fewer host round-trips, which
+    # dominates burn-in wall-clock on high-latency links.  Host-side diagnostics (early stopping, checkpointing)
     # run between dispatches.  Statistically equivalent to the default
     # (the per-block key streams are identical); not bitwise (device
     # covariance reductions vs numpy).  No reference counterpart.
@@ -496,6 +495,93 @@ class MetropolisHastings:
         self._multiblock_size = n_block_size
         return self._multiblock_kernel
 
+    def _get_multiblock_kernel_rm(self, n_block_size):
+        """Jitted scan-of-scans for Robbins-Monro adaptation: K blocks
+        per dispatch, per-block gamma passed in (diminishing schedule is
+        precomputed on the host)."""
+        if (
+            getattr(self, "_multiblock_kernel_rm", None) is not None
+            and self._multiblock_size_rm == n_block_size
+        ):
+            return self._multiblock_kernel_rm
+
+        safe_lt = self._safe_log_target
+        target = self.target_acceptance
+
+        def multi(x0, lt0, cov0, keys, gammas):
+            def block_body(carry, xs):
+                keys_b, gamma = xs
+                x, lt, cov = carry
+                chols = jnp.linalg.cholesky(cov)
+
+                def step2(c2, key):
+                    xx, ll = c2
+                    k_prop, k_u = jax.random.split(key)
+                    eps = jax.random.normal(k_prop, xx.shape, dtype=xx.dtype)
+                    y = xx + jnp.einsum("cij,cj->ci", chols, eps)
+                    lt_y = jax.vmap(safe_lt)(y)
+                    log_a = lt_y - ll
+                    u = jnp.maximum(
+                        jax.random.uniform(k_u, (xx.shape[0],),
+                                           dtype=xx.dtype), 1e-300
+                    )
+                    accept = jnp.log(u) < log_a
+                    x_new = jnp.where(accept[:, None], y, xx)
+                    lt_new = jnp.where(accept, lt_y, ll)
+                    return (x_new, lt_new), (x_new, accept, lt_new)
+
+                (xf, ltf), (xs_, acc, lts) = lax.scan(step2, (x, lt), keys_b)
+                rates = jnp.mean(acc, axis=0)
+                cov2 = cov * jnp.exp(gamma * (rates - target))[:, None, None]
+                return (xf, ltf, cov2), (xs_, acc, lts)
+
+            return lax.scan(block_body, (x0, lt0, cov0), (keys, gammas))
+
+        self._multiblock_kernel_rm = jax.jit(multi)
+        self._multiblock_size_rm = n_block_size
+        return self._multiblock_kernel_rm
+
+    def run_adaptive_RM_blocks(self, n_blocks, n_block_size,
+                               diminishing=True):
+        """n_blocks RM adaptation blocks in one device dispatch."""
+        C, d = self.n_chains, self.dim
+        subs = []
+        gammas = []
+        base = self.options.RM_adapt_factor
+        for k in range(n_blocks):
+            self._key, sub = jax.random.split(self._key)
+            subs.append(jax.random.split(sub, n_block_size))
+            it = self.global_iter + (k + 1) * n_block_size
+            gammas.append(
+                self._diminishing_adaptation_schedule(
+                    it, self.burnin_period, base, final_frac=0.1
+                ) if diminishing else base
+            )
+        keys = jnp.stack(subs)
+        gammas_j = jnp.asarray(np.asarray(gammas))
+
+        x0 = jnp.asarray(self.x[:, self.global_iter, :])
+        lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
+        lt0 = jnp.where(jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0)
+        cov0 = jnp.stack([self._get_cov_parameter(c) for c in range(C)])
+
+        kern = self._get_multiblock_kernel_rm(n_block_size)
+        (xf, ltf, covf), (xs, acc, lts) = kern(x0, lt0, cov0, keys, gammas_j)
+
+        n_tot = n_blocks * n_block_size
+        i0 = self.global_iter + 1
+        xs = np.asarray(xs).reshape(n_tot, C, d)
+        acc = np.asarray(acc).reshape(n_tot, C)
+        lts = np.asarray(lts).reshape(n_tot, C)
+        self.x[:, i0 : i0 + n_tot, :] = np.swapaxes(xs, 0, 1)
+        self.accept[:, i0 : i0 + n_tot] = np.swapaxes(acc, 0, 1)
+        self.log_target_values[:, i0 : i0 + n_tot] = np.swapaxes(lts, 0, 1)
+        self.global_iter += n_tot
+        self.proposal_distribution_params = [
+            np.asarray(covf[c]) for c in range(C)
+        ]
+        self._maybe_checkpoint()
+
     def run_adaptive_Haario_blocks(self, n_blocks, n_block_size):
         """n_blocks Haario adaptation blocks in one device dispatch."""
         C, d = self.n_chains, self.dim
@@ -553,13 +639,19 @@ class MetropolisHastings:
         remainder = n_samples - n_blocks * self.options.adaptation_interval
         method = self.options.adaptation_method.lower()
         K = max(1, int(self.options.blocks_per_dispatch))
-        if K > 1 and method == "haario":
+        if K > 1:
             block = 0
             while block < n_blocks:
                 k = min(K, n_blocks - block)
-                self.run_adaptive_Haario_blocks(
-                    k, self.options.adaptation_interval
-                )
+                if method == "haario":
+                    self.run_adaptive_Haario_blocks(
+                        k, self.options.adaptation_interval
+                    )
+                else:
+                    self.run_adaptive_RM_blocks(
+                        k, self.options.adaptation_interval,
+                        diminishing=False,
+                    )
                 block += k
             n_blocks = 0
         for _ in range(n_blocks):
@@ -597,20 +689,20 @@ class MetropolisHastings:
         converged_early = False
 
         K = max(1, int(self.options.blocks_per_dispatch))
-        if K > 1 and method != "haario":
-            get_logger().warning(
-                "blocks_per_dispatch > 1 requires Haario adaptation; "
-                "falling back to one block per dispatch."
-            )
-            K = 1
 
         block = 0
         while block < n_blocks:
             if K > 1:
                 k = min(K, n_blocks - block)
-                self.run_adaptive_Haario_blocks(
-                    k, self.options.adaptation_interval
-                )
+                if method == "haario":
+                    self.run_adaptive_Haario_blocks(
+                        k, self.options.adaptation_interval
+                    )
+                else:
+                    self.run_adaptive_RM_blocks(
+                        k, self.options.adaptation_interval,
+                        diminishing=self.options.RM_diminishing,
+                    )
                 block += k
             elif method == "rm":
                 self.run_adaptive_RM(self.options.adaptation_interval,
