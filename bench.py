@@ -83,7 +83,7 @@ print(json.dumps({"evals_per_sec": N_EVAL / dt}))
 """
 
 
-def measure_baseline(n_runs=3):
+def measure_baseline(n_runs=5):
     """Median of n_runs torch-CPU measurements (machine-load robust)."""
     vals = []
     script = _BASELINE_SCRIPT % (N, D, P_SMOOTH, SEED, N_EVAL, NOISE_STD)
