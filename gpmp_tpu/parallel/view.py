@@ -106,19 +106,31 @@ class ShardedModelView:
 
     def predict(self, xi, zi, xt, **kwargs):
         convert_out = kwargs.pop("convert_out", False)
-        unsupported = {
-            k: v for k, v in kwargs.items()
-            if k == "return_lambdas" and v
-        }
-        if unsupported:
+        zero_neg_variances = kwargs.pop("zero_neg_variances", True)
+        if kwargs.pop("return_lambdas", False):
             raise NotImplementedError(
                 "return_lambdas is not supported by the sharded predict "
                 "(the (n, nt) weight matrix would be gathered to one chip)"
             )
+        kwargs.pop("convert_in", None)  # inputs are arrays already
+        if kwargs:
+            raise TypeError(f"unsupported predict kwargs: {sorted(kwargs)}")
         zpm, zpv = sharded_predict(
             self._model, xi, zi, xt, self._mesh,
             axis_name=self._axis_name, block=self._block_for(xi.shape[0]),
         )
+        # mirror Model.predict's negative-variance warn/clip default
+        import jax.numpy as jnp
+
+        if bool(jnp.any(zpv < 0)):
+            import warnings
+
+            warnings.warn(
+                "Negative variances detected. Consider using jitter.",
+                RuntimeWarning,
+            )
+            if zero_neg_variances:
+                zpv = jnp.maximum(zpv, 0.0)
         if convert_out:
             return gnp.to_np(zpm), gnp.to_np(zpv)
         return zpm, zpv
