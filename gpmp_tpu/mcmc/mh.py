@@ -160,7 +160,9 @@ class MetropolisHastings:
         )
         self._block_kernel = None
         self._multiblock_kernel = None
+        self._multiblock_kernel_rm = None
         self._multiblock_size = None
+        self._sequential_target = False
         self._blocks_since_checkpoint = 0
         self._vmapped_logtarget = jax.jit(jax.vmap(self._safe_log_target))
         self._chain_sharding = None
@@ -194,13 +196,51 @@ class MetropolisHastings:
         v = jnp.asarray(v).reshape(())
         return jnp.where(jnp.isnan(v), -jnp.inf, v)
 
+    def _batched_target(self):
+        """Chain-batched log target: vmap normally; lax.map when the
+        target is not vmappable (e.g. a mesh-sharded criterion from a
+        mesh= fit, whose shard_map/device_put internals reject a batch
+        axis) -- sequential chains are the right semantics there anyway,
+        since each evaluation already spans all devices."""
+        if self._sequential_target:
+            return lambda xs: lax.map(self._safe_log_target, xs)
+        return jax.vmap(self._safe_log_target)
+
+    def _ensure_target_mode(self):
+        """Probe (via eval_shape, no RNG consumed) whether the target
+        vmaps over chains; fall back to sequential evaluation if not."""
+        if self._sequential_target:
+            return
+        try:
+            jax.eval_shape(
+                jax.vmap(self._safe_log_target),
+                jax.ShapeDtypeStruct(
+                    (self.n_chains, self.dim), gnp._dtype
+                ),
+            )
+        except Exception as exc:
+            self._fall_back_to_sequential_target(exc)
+
+    def _fall_back_to_sequential_target(self, exc):
+        if self._sequential_target:
+            raise exc
+        get_logger().info(
+            "log-target is not vmappable over chains (%s); switching to "
+            "sequential per-chain evaluation (lax.map).", type(exc).__name__,
+        )
+        self._sequential_target = True
+        self._block_kernel = None
+        self._multiblock_kernel = None
+        self._multiblock_kernel_rm = None
+        self._vmapped_logtarget = jax.jit(self._batched_target())
+
     def _get_block_kernel(self):
         """scan kernel advancing all chains n steps with fixed per-chain
         proposal Cholesky factors."""
         if self._block_kernel is not None:
             return self._block_kernel
 
-        safe_lt = self._safe_log_target
+        batched_lt = self._batched_target()
 
         def block(x0, lt0, chols, keys):
             def step2(carry, key):
@@ -208,7 +248,7 @@ class MetropolisHastings:
                 k_prop, k_u = jax.random.split(key)
                 eps = jax.random.normal(k_prop, x.shape, dtype=x.dtype)
                 y = x + jnp.einsum("cij,cj->ci", chols, eps)
-                lt_y = jax.vmap(safe_lt)(y)
+                lt_y = batched_lt(y)
                 log_a = lt_y - lt
                 u = jnp.maximum(
                     jax.random.uniform(k_u, (x.shape[0],), dtype=x.dtype), 1e-300
@@ -274,16 +314,27 @@ class MetropolisHastings:
                 self._maybe_checkpoint()
             return rates_sum / n_steps
         i0 = self.global_iter + 1
-        kernel = self._get_block_kernel()
-        chols = self._proposal_chols()
-        self._key, sub = jax.random.split(self._key)
-        keys = jax.random.split(sub, n_steps)
-        x0 = jnp.asarray(self.x[:, self.global_iter, :])
-        lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
-        lt0 = jnp.where(jnp.isnan(lt0), jax.vmap(self._safe_log_target)(x0), lt0)
-        x0, lt0, chols = self._shard_chains(x0, lt0, chols)
+        key_snapshot = self._key
+        try:
+            kernel = self._get_block_kernel()
+            chols = self._proposal_chols()
+            self._key, sub = jax.random.split(self._key)
+            keys = jax.random.split(sub, n_steps)
+            x0 = jnp.asarray(self.x[:, self.global_iter, :])
+            lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
+            lt0 = jnp.where(
+                jnp.isnan(lt0), self._batched_target()(x0), lt0
+            )
+            x0, lt0, chols = self._shard_chains(x0, lt0, chols)
 
-        _xf, _ltf, xs, accepts, lts = kernel(x0, lt0, chols, keys)
+            _xf, _ltf, xs, accepts, lts = kernel(x0, lt0, chols, keys)
+        except Exception as exc:
+            # e.g. a mesh-sharded criterion that cannot vmap over chains:
+            # restore the RNG stream, switch to sequential evaluation,
+            # and retry once (a genuine error re-raises from there)
+            self._key = key_snapshot
+            self._fall_back_to_sequential_target(exc)
+            return self.run_samples(n_steps, show_global_progress)
 
         xs = np.asarray(xs)  # (n_steps, C, d)
         accepts = np.asarray(accepts)
@@ -444,7 +495,7 @@ class MetropolisHastings:
         ):
             return self._multiblock_kernel
 
-        safe_lt = self._safe_log_target
+        batched_lt = self._batched_target()
         n_pool = self.options.n_pool
         n_groups = self.n_chains // n_pool
         dim = self.dim
@@ -463,7 +514,7 @@ class MetropolisHastings:
                     k_prop, k_u = jax.random.split(key)
                     eps = jax.random.normal(k_prop, xx.shape, dtype=xx.dtype)
                     y = xx + jnp.einsum("cij,cj->ci", chols, eps)
-                    lt_y = jax.vmap(safe_lt)(y)
+                    lt_y = batched_lt(y)
                     log_a = lt_y - ll
                     u = jnp.maximum(
                         jax.random.uniform(k_u, (xx.shape[0],),
@@ -505,7 +556,7 @@ class MetropolisHastings:
         ):
             return self._multiblock_kernel_rm
 
-        safe_lt = self._safe_log_target
+        batched_lt = self._batched_target()
         target = self.target_acceptance
 
         def multi(x0, lt0, cov0, keys, gammas):
@@ -519,7 +570,7 @@ class MetropolisHastings:
                     k_prop, k_u = jax.random.split(key)
                     eps = jax.random.normal(k_prop, xx.shape, dtype=xx.dtype)
                     y = xx + jnp.einsum("cij,cj->ci", chols, eps)
-                    lt_y = jax.vmap(safe_lt)(y)
+                    lt_y = batched_lt(y)
                     log_a = lt_y - ll
                     u = jnp.maximum(
                         jax.random.uniform(k_u, (xx.shape[0],),
@@ -545,6 +596,7 @@ class MetropolisHastings:
                                diminishing=True):
         """n_blocks RM adaptation blocks in one device dispatch."""
         C, d = self.n_chains, self.dim
+        key_snapshot = self._key
         subs = []
         gammas = []
         base = self.options.RM_adapt_factor
@@ -562,11 +614,24 @@ class MetropolisHastings:
 
         x0 = jnp.asarray(self.x[:, self.global_iter, :])
         lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
-        lt0 = jnp.where(jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0)
-        cov0 = jnp.stack([self._get_cov_parameter(c) for c in range(C)])
+        try:
+            lt0 = jnp.where(
+                jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0
+            )
+            cov0 = jnp.stack(
+                [self._get_cov_parameter(c) for c in range(C)]
+            )
 
-        kern = self._get_multiblock_kernel_rm(n_block_size)
-        (xf, ltf, covf), (xs, acc, lts) = kern(x0, lt0, cov0, keys, gammas_j)
+            kern = self._get_multiblock_kernel_rm(n_block_size)
+            (xf, ltf, covf), (xs, acc, lts) = kern(
+                x0, lt0, cov0, keys, gammas_j
+            )
+        except Exception as exc:
+            self._key = key_snapshot
+            self._fall_back_to_sequential_target(exc)
+            return self.run_adaptive_RM_blocks(
+                n_blocks, n_block_size, diminishing=diminishing
+            )
 
         n_tot = n_blocks * n_block_size
         i0 = self.global_iter + 1
@@ -585,6 +650,7 @@ class MetropolisHastings:
     def run_adaptive_Haario_blocks(self, n_blocks, n_block_size):
         """n_blocks Haario adaptation blocks in one device dispatch."""
         C, d = self.n_chains, self.dim
+        key_snapshot = self._key
         subs = []
         for _ in range(n_blocks):
             self._key, sub = jax.random.split(self._key)
@@ -593,17 +659,24 @@ class MetropolisHastings:
 
         x0 = jnp.asarray(self.x[:, self.global_iter, :])
         lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
-        lt0 = jnp.where(jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0)
-        cov0 = jnp.stack(
-            [self._get_cov_parameter(c) for c in range(C)]
-        )
-        scal0 = jnp.asarray(self.haario_scaling_factors)
+        try:
+            lt0 = jnp.where(
+                jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0
+            )
+            cov0 = jnp.stack(
+                [self._get_cov_parameter(c) for c in range(C)]
+            )
+            scal0 = jnp.asarray(self.haario_scaling_factors)
 
-        kern = self._get_multiblock_kernel(n_block_size)
-        (xf, ltf, covf, scalf), (xs, acc, lts) = kern(
-            x0, lt0, cov0, scal0, keys,
-            jnp.asarray(float(self.haario_adapt_factor)),
-        )
+            kern = self._get_multiblock_kernel(n_block_size)
+            (xf, ltf, covf, scalf), (xs, acc, lts) = kern(
+                x0, lt0, cov0, scal0, keys,
+                jnp.asarray(float(self.haario_adapt_factor)),
+            )
+        except Exception as exc:
+            self._key = key_snapshot
+            self._fall_back_to_sequential_target(exc)
+            return self.run_adaptive_Haario_blocks(n_blocks, n_block_size)
 
         n_tot = n_blocks * n_block_size
         i0 = self.global_iter + 1
@@ -783,6 +856,7 @@ class MetropolisHastings:
         if n_steps_total < burnin_period:
             raise ValueError("Total steps < burnin")
 
+        self._ensure_target_mode()
         self.proposal_distribution_params = (
             self._initialize_proposal_distribution_params(
                 self.options.proposal_distribution_param_init
@@ -922,6 +996,7 @@ class MetropolisHastings:
         the same trace array scheduler() would have."""
         if self.x is None:
             raise ValueError("No state to continue from; restore first.")
+        self._ensure_target_mode()
         n_steps_total = self.global_total - 1
         self.start_time = time.time()
         if (

@@ -213,3 +213,37 @@ def test_remap_mesh_mode_and_view():
     zl2 = view.loo(xi, zi)
     for a, b in zip(zl1, zl2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_mh_sampling_from_mesh_fit():
+    """Posterior MH on a mesh-fit criterion: the sharded criterion
+    cannot vmap over chains, so the sampler must fall back to
+    sequential per-chain evaluation automatically."""
+    import gpmp_tpu as gp
+    from gpmp_tpu.parallel.mesh import make_mesh
+
+    n, d = 512, 2
+    rng = np.random.default_rng(0)
+    xi_np = rng.uniform(size=(n, d))
+    zi_np = np.sin(4 * xi_np[:, 0]) + 0.05 * rng.normal(size=n)
+
+    def constant_mean(x, param):
+        return gnp.ones((x.shape[0], 1))
+
+    def kernel(x, y, covparam, pairwise=False):
+        return gp.kernel.maternp_covariance(x, y, 2, covparam, pairwise)
+
+    xi, zi = gnp.asarray(xi_np), gnp.asarray(zi_np)
+    mesh = make_mesh(8, axis_name="shard")
+    m = gp.Model(constant_mean, kernel)
+    m, info = gp.kernel.select_parameters_with_remap(
+        m, xi, zi, info=True, mesh=mesh, shard_block=64
+    )
+    samples, mh = gp.mcmc.sample_from_selection_criterion_mh(
+        info, n_steps_total=120, burnin_period=40, n_chains=2,
+        show_progress=False, plot_chains=False,
+        plot_empirical_distributions=False, silent=True,
+    )
+    s = np.asarray(samples)
+    assert np.isfinite(s).all()
+    assert mh._sequential_target
