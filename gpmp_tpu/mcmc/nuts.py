@@ -86,6 +86,9 @@ class NUTSOptions:
     # chunk; resume with nuts_resume(log_prob, checkpoint_path).
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 200
+    # False: evaluate chains sequentially (lax.map) instead of vmap --
+    # required for non-vmappable targets such as mesh-sharded criteria
+    vmap_chains: bool = True
 
     # dual averaging
     dual_averaging_gamma: float = 0.05
@@ -537,6 +540,29 @@ def nuts_transition(log_prob, q0, step_size, inv_mass_diag, max_depth,
 # ---------------------------
 # Sampling driver
 # ---------------------------
+def _batched_transition(transition, vmap_chains):
+    """Chain-batched NUTS transition: vmap normally, lax.map when the
+    log-prob is not vmappable (e.g. a mesh-sharded criterion from a
+    mesh= fit) -- sequential chains are the right semantics there, each
+    evaluation already spans all devices."""
+    if vmap_chains:
+        return jax.vmap(transition, in_axes=(0, 0, None, None, None))
+
+    def seq(keys, q, eps, imd, dmax):
+        return lax.map(
+            lambda kq: transition(kq[0], kq[1], eps, imd, dmax), (keys, q)
+        )
+
+    return seq
+
+
+def _batched_logprob(log_prob, vmap_chains):
+    f = lambda qq: jnp.asarray(log_prob(qq)).reshape(())
+    if vmap_chains:
+        return jax.vmap(f)
+    return lambda qs: lax.map(f, qs)
+
+
 def nuts_sample(log_prob, q_init, num_samples,
                 num_warmup=_DEFAULT_NUM_WARMUP,
                 target_accept=_DEFAULT_TARGET_ACCEPT,
@@ -608,12 +634,9 @@ def nuts_sample(log_prob, q_init, num_samples,
 
     # jitted transition, vmapped over chains
     transition = _make_transition(log_prob, max_depth)
-    vtrans = jax.jit(
-        jax.vmap(transition, in_axes=(0, 0, None, None, None))
-    )
-    vlogprob = jax.jit(
-        jax.vmap(lambda q: jnp.asarray(log_prob(q)).reshape(()))
-    )
+    vmap_chains = bool(opts.vmap_chains)
+    vtrans = jax.jit(_batched_transition(transition, vmap_chains))
+    vlogprob = jax.jit(_batched_logprob(log_prob, vmap_chains))
     if opts.mesh is not None:
         # shard the chain axis: each device runs chains/n_devices NUTS
         # transitions locally (no reference counterpart, SURVEY.md 2.7)
@@ -698,12 +721,10 @@ def nuts_sample(log_prob, q_init, num_samples,
                 def body(carry, keys_t):
                     q, log_eps, log_eps_bar, h_bar, tda, wn, wmean, wm2 = carry
                     eps = jnp.clip(jnp.exp(log_eps), eps_min, eps_max)
-                    q1, a, nlf, depth, div = jax.vmap(
-                        transition, in_axes=(0, 0, None, None, None)
+                    q1, a, nlf, depth, div = _batched_transition(
+                        transition, vmap_chains
                     )(keys_t, q, eps, imd, dmax)
-                    lp = jax.vmap(
-                        lambda qq: jnp.asarray(log_prob(qq)).reshape(())
-                    )(q1)
+                    lp = _batched_logprob(log_prob, vmap_chains)(q1)
                     mean_accept = jnp.mean(a)
                     tda = tda + 1.0
                     eta = 1.0 / (tda + t0c)
@@ -915,6 +936,7 @@ def nuts_sample(log_prob, q_init, num_samples,
             "max_depth": int(max_depth), "delta_max": float(delta_max),
             "step_size": float(step_size),
             "step_size_final": float(step_size_final),
+            "vmap_chains": vmap_chains,
         }
         q = _run_sampling_chunks(
             transition, log_prob, q, step_keys, 0, traces,
@@ -922,6 +944,7 @@ def nuts_sample(log_prob, q_init, num_samples,
             max(1, int(opts.checkpoint_every)),
             _make_nuts_saver(opts.checkpoint_path, sub_np, mass_diag,
                              traces, warmup_arrays, meta_common),
+            vmap_chains=vmap_chains,
         )
     elif use_scan:
         # post-warmup phase: eps and mass are frozen, so the whole
@@ -937,12 +960,10 @@ def nuts_sample(log_prob, q_init, num_samples,
         @jax.jit
         def _sample_scan(q0, keys, eps, imd, dmax):
             def body(q, keys_t):
-                q1, a, nlf, depth, div = jax.vmap(
-                    transition, in_axes=(0, 0, None, None, None)
+                q1, a, nlf, depth, div = _batched_transition(
+                    transition, vmap_chains
                 )(keys_t, q, eps, imd, dmax)
-                lp = jax.vmap(
-                    lambda qq: jnp.asarray(log_prob(qq)).reshape(())
-                )(q1)
+                lp = _batched_logprob(log_prob, vmap_chains)(q1)
                 return q1, (q1, a, nlf, depth, div, lp)
 
             return lax.scan(body, q0, keys)
@@ -1000,7 +1021,7 @@ def nuts_sample(log_prob, q_init, num_samples,
 # ---------------------------
 def _run_sampling_chunks(transition, log_prob, q, step_keys, t_start,
                          traces, step_size, inv_mass_diag, delta_max,
-                         chunk, save_fn):
+                         chunk, save_fn, vmap_chains=True):
     """Advance the frozen-parameter sampling phase in scanned chunks,
     filling ``traces`` in place and calling ``save_fn(q, t_done)`` after
     each chunk.  Per-step keys come pre-split, so chunking does not
@@ -1010,12 +1031,10 @@ def _run_sampling_chunks(transition, log_prob, q, step_keys, t_start,
     @jax.jit
     def _chunk_scan(q0, keys, eps, imd, dmax):
         def body(qc, keys_t):
-            q1, a, nlf, depth, div = jax.vmap(
-                transition, in_axes=(0, 0, None, None, None)
+            q1, a, nlf, depth, div = _batched_transition(
+                transition, vmap_chains
             )(keys_t, qc, eps, imd, dmax)
-            lp = jax.vmap(
-                lambda qq: jnp.asarray(log_prob(qq)).reshape(())
-            )(q1)
+            lp = _batched_logprob(log_prob, vmap_chains)(q1)
             return q1, (q1, a, nlf, depth, div, lp)
 
         return lax.scan(body, q0, keys)
@@ -1098,12 +1117,14 @@ def nuts_resume(log_prob, checkpoint_path, verbose=1):
     meta_common = {k: meta[k] for k in ("kind", "num_samples", "chains",
                                         "dim", "max_depth", "delta_max",
                                         "step_size", "step_size_final")}
+    meta_common["vmap_chains"] = bool(meta.get("vmap_chains", True))
     _run_sampling_chunks(
         transition, log_prob, q, step_keys, t_done, traces,
         step_size, inv_mass_diag, delta_max,
         max(1, num_samples // 10 if num_samples >= 10 else num_samples),
         _make_nuts_saver(checkpoint_path, np.asarray(arrays["sub"]),
                          mass_diag, traces, warmup_arrays, meta_common),
+        vmap_chains=bool(meta.get("vmap_chains", True)),
     )
     info = {
         "warmup_step_size": warmup_arrays["warmup_eps"],
