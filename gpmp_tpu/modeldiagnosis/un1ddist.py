@@ -1,89 +1,121 @@
 # gpmp_tpu/modeldiagnosis/un1ddist.py
-"""1-D distribution from an unnormalized scalar log-pdf.
+"""One-dimensional distribution built from an unnormalized scalar log-pdf.
 
-Host-side (scipy quad/brentq); reference un1ddist.py:39-215.
+Used by the quadrature-based selection-criterion statistics: the
+criterion profile ``J(theta_k)`` along one parameter becomes a pseudo
+log-density ``-J``, and moments/quantiles are computed by adaptive
+quadrature (``scipy.integrate.quad``) and bracketing root finds
+(``scipy.optimize.brentq``).  Host-side by nature — the integrand is a
+scalar Python callable.
+
+Behavioral parity surface: /root/reference/gpmp/modeldiagnosis/un1ddist.py
+(Unnormalized1DDistribution: f/pdf/cdf/mean/var/quantile, finite-bounds
+quantile requirement).
 """
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import numpy as np
-from scipy.integrate import quad
-from scipy.optimize import brentq
+import scipy.integrate
+import scipy.optimize
 
-LogPDF = Callable[[float], float]
-Bounds = Tuple[float, float]
+# exp() saturation thresholds for float64
+_EXP_OVERFLOW = 709.0
+_EXP_UNDERFLOW = -745.0
 
 
 class Unnormalized1DDistribution:
-    """1-D distribution defined by an unnormalized scalar log-pdf on (a, b).
+    """Distribution on ``(a, b)`` defined by an unnormalized log-pdf.
 
-    Quantiles require finite bounds; integration via scipy.integrate.quad.
+    The normalization constant ``Z`` is computed eagerly at
+    construction; a non-finite or non-positive ``Z`` is an error.
+    Bounds may be infinite except for :meth:`quantile`, which needs a
+    finite bracket.
     """
 
-    def __init__(self, log_pdf: LogPDF, bounds: Bounds, *,
+    def __init__(self, log_pdf: Callable[[float], float], bounds, *,
                  quad_opts: Optional[dict] = None):
-        a, b = bounds
-        if not (isinstance(a, (int, float)) and isinstance(b, (int, float))):
-            raise TypeError("bounds must be a pair of numbers (a, b).")
-        if not (a < b):
-            raise ValueError("bounds must satisfy a < b.")
+        lo, hi = bounds
+        if not (isinstance(lo, (int, float)) and isinstance(hi, (int, float))):
+            raise TypeError("bounds: expected a numeric pair (lower, upper).")
+        if not lo < hi:
+            raise ValueError("bounds: lower must be strictly below upper.")
         self.log_pdf = log_pdf
-        self.bounds = (float(a), float(b))
-        self._quad_opts = {} if quad_opts is None else dict(quad_opts)
-        self.Z, _ = quad(self._f_scalar, *self.bounds, **self._quad_opts)
-        if not math.isfinite(self.Z) or self.Z <= 0.0:
-            raise ValueError("Normalization failed (Z is not positive and finite).")
+        self.bounds = (float(lo), float(hi))
+        self._quad_opts = dict(quad_opts or {})
+        self.Z = self._weighted_integral(lambda t: 1.0)
+        if not (math.isfinite(self.Z) and self.Z > 0.0):
+            raise ValueError(
+                "normalization constant is not a positive finite number"
+            )
 
-    @staticmethod
-    def _safe_exp(u: float) -> float:
-        if u > 709.0:
-            return float("inf")
-        if u < -745.0:
+    # -- density evaluation ------------------------------------------------
+
+    def _density_at(self, x: float) -> float:
+        """Unnormalized density at a scalar point, saturating exp()."""
+        u = float(self.log_pdf(float(x)))
+        if u > _EXP_OVERFLOW:
+            return math.inf
+        if u < _EXP_UNDERFLOW:
             return 0.0
         return math.exp(u)
 
-    def _f_scalar(self, x: float) -> float:
-        return self._safe_exp(float(self.log_pdf(float(x))))
-
     def f(self, x: Sequence[float]) -> np.ndarray:
-        """Unnormalized density on a grid."""
-        return np.asarray([self._f_scalar(float(t)) for t in x])
+        """Unnormalized density on a grid of points."""
+        return np.fromiter(
+            (self._density_at(t) for t in x), dtype=float, count=len(x)
+        )
 
     def pdf(self, x: Sequence[float]) -> np.ndarray:
-        """Normalized density on a grid."""
+        """Normalized density on a grid of points."""
         return self.f(x) / self.Z
 
+    # -- integrals ---------------------------------------------------------
+
+    def _weighted_integral(self, weight, upper: Optional[float] = None) -> float:
+        """Adaptive quadrature of ``weight(t) * density(t)`` over the support
+        (or up to ``upper``)."""
+        lo, hi = self.bounds
+        value, _err = scipy.integrate.quad(
+            lambda t: weight(t) * self._density_at(t),
+            lo,
+            hi if upper is None else upper,
+            **self._quad_opts,
+        )
+        return float(value)
+
     def cdf(self, x: float) -> float:
-        """CDF at a scalar point."""
-        a, b = self.bounds
+        """Cumulative probability at a scalar point."""
+        lo, hi = self.bounds
         x = float(x)
-        if x <= a:
+        if x <= lo:
             return 0.0
-        if x >= b:
+        if x >= hi:
             return 1.0
-        integral, _ = quad(self._f_scalar, a, x, **self._quad_opts)
-        return float(integral / self.Z)
+        return self._weighted_integral(lambda t: 1.0, upper=x) / self.Z
 
     def mean(self) -> float:
-        a, b = self.bounds
-        mu, _ = quad(lambda t: t * self._f_scalar(t), a, b, **self._quad_opts)
-        return float(mu / self.Z)
+        """First moment."""
+        return self._weighted_integral(lambda t: t) / self.Z
 
     def var(self) -> float:
-        a, b = self.bounds
+        """Variance, from the raw second moment."""
         mu = self.mean()
-        m2, _ = quad(lambda t: t * t * self._f_scalar(t), a, b, **self._quad_opts)
-        return float(m2 / self.Z - mu * mu)
+        second = self._weighted_integral(lambda t: t * t) / self.Z
+        return second - mu * mu
 
     def quantile(self, p: float, *, xtol: float = 1e-6) -> float:
+        """Level-``p`` quantile by bracketing root find (finite bounds only)."""
         p = float(p)
-        if not (0.0 < p < 1.0):
-            raise ValueError("p must be in (0, 1).")
-        a, b = self.bounds
-        if not (math.isfinite(a) and math.isfinite(b)):
-            raise ValueError("quantile requires finite bounds.")
-        return float(brentq(lambda t: self.cdf(t) - p, a, b, xtol=xtol))
+        if not 0.0 < p < 1.0:
+            raise ValueError(f"quantile level {p} outside the open interval (0, 1)")
+        lo, hi = self.bounds
+        if math.isinf(lo) or math.isinf(hi):
+            raise ValueError("quantile needs a finite bracket; got infinite bounds")
+        return float(
+            scipy.optimize.brentq(lambda t: self.cdf(t) - p, lo, hi, xtol=xtol)
+        )
 
 
 __all__ = ["Unnormalized1DDistribution"]

@@ -1,60 +1,83 @@
 # gpmp_tpu/plot/plotutils.py
-"""Plotting utilities: Figure wrapper, GP CI bands, cross-sections, LOO plot.
+"""Host-side plotting: Figure wrapper, GP credible bands, slice plots, LOO.
 
-API parity with /root/reference/gpmp/plot/plotutils.py:20-420.
-Host-side matplotlib; headless-safe (Agg backend when non-interactive).
+API parity surface (reference gpmp/plot/plotutils.py:20-420): ``Figure`` with
+its plotting methods, ``plotgp`` credible-interval bands, ``crosssections``
+1-D slices through a d-dimensional predictor, and ``plot_loo``.  Everything
+here is pure matplotlib on NumPy arrays — device arrays are pulled to host
+once at the boundary.  The Agg backend is forced in non-interactive sessions
+so examples and CI run headless.
 """
 
 import sys
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
-import scipy.stats as stats
+import scipy.stats
 
 import matplotlib
 
-if not hasattr(sys, "ps1") and not sys.flags.interactive:
+
+def _running_in_repl() -> bool:
+    """True when Python is interactive (a prompt exists or -i was passed)."""
+    if getattr(sys, "ps1", None) is not None:
+        return True
+    return bool(sys.flags.interactive)
+
+
+if not _running_in_repl():
     try:
         matplotlib.use("Agg", force=False)
     except Exception:
         pass
-import matplotlib.pyplot as plt
-from matplotlib import interactive
 
-import gpmp_tpu.num as gnp
+import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib import interactive as _mpl_interactive  # noqa: E402
+
+import gpmp_tpu.num as gnp  # noqa: E402
+
+
+def _host1d(x) -> np.ndarray:
+    """Device/array-like -> flat float numpy vector on the host."""
+    return np.asarray(gnp.to_np(x)).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Figure
+# ---------------------------------------------------------------------------
 
 
 class Figure:
-    """Small matplotlib figure manager with box-off styling and subplots."""
+    """Thin matplotlib wrapper: subplot grid, spine box-off, GP band plots.
+
+    All draw methods target ``self.ax``, the currently selected subplot
+    (changed with :meth:`subplot`, 1-based like matplotlib).
+    """
 
     def __init__(self, nrows=1, ncols=1, isinteractive=True, boxoff=True, **kargs):
-        self.interpreter = False
-        try:
-            if sys.ps1:
-                self.interpreter = True
-        except AttributeError:
-            if sys.flags.interactive:
-                self.interpreter = True
-
+        self.interpreter = _running_in_repl()
         if isinteractive and self.interpreter:
-            interactive(True)
+            _mpl_interactive(True)
 
         self.boxoff = boxoff
+        self.nrows, self.ncols = nrows, ncols
         self.fig = plt.figure(**kargs)
-        self.nrows = nrows
-        self.ncols = ncols
         self.axes = [
-            self.fig.add_subplot(nrows, ncols, i + 1) for i in range(nrows * ncols)
+            self.fig.add_subplot(nrows, ncols, k) for k in range(1, nrows * ncols + 1)
         ]
         self.ax = self.axes[0]
-        if self.boxoff:
+        if boxoff:
             self.set_boxoff()
 
     def set_boxoff(self):
-        self.ax.spines["right"].set_visible(False)
-        self.ax.spines["top"].set_visible(False)
+        """Hide the top/right spines of the current axes; ticks point in."""
+        for spine in ("right", "top"):
+            self.ax.spines[spine].set_visible(False)
         self.ax.tick_params(direction="in")
 
     def subplot(self, i):
+        """Select subplot ``i`` (1-based) as the draw target."""
         self.ax = self.axes[i - 1]
         if self.boxoff:
             self.set_boxoff()
@@ -62,10 +85,9 @@ class Figure:
     def show(self, grid=None, legend=None, legend_fontsize=None, xlim=None):
         if grid:
             self.grid()
-        if legend and legend_fontsize is not None:
-            self.legend(fontsize=legend_fontsize)
-        elif legend:
-            self.legend()
+        if legend:
+            kw = {} if legend_fontsize is None else {"fontsize": legend_fontsize}
+            self.legend(**kw)
         if xlim is not None:
             self.xlim(xlim)
         plt.show()
@@ -74,10 +96,9 @@ class Figure:
         self.ax.plot(np.asarray(x), np.asarray(z), *args, **kargs)
 
     def plotdata(self, x, z, label="data"):
-        self.ax.plot(
-            np.asarray(x), np.asarray(z), "rs",
-            markerfacecolor="none", markersize=6, label=label,
-        )
+        """Observations as open red squares."""
+        self.ax.plot(np.asarray(x), np.asarray(z), "rs", markersize=6,
+                     markerfacecolor="none", label=label)
 
     def xlabel(self, s):
         self.ax.set_xlabel(s)
@@ -86,8 +107,8 @@ class Figure:
         self.ax.set_ylabel(s)
 
     def xylabels(self, sx="", sy=""):
-        self.ax.set_xlabel(sx)
-        self.ax.set_ylabel(sy)
+        self.xlabel(sx)
+        self.ylabel(sy)
 
     def title(self, s):
         self.ax.set_title(s)
@@ -118,88 +139,136 @@ class Figure:
     def axvline(self, x, **kwargs):
         self.ax.axvline(x, **kwargs)
 
-    def plotgp(
-        self,
-        x,
-        mean,
-        variance,
-        colorscheme="default",
-        rgb_hue=None,
-        ax=None,
-        fignum=None,
-        mean_label="posterior mean",
-        show_mean_label=True,
-        ci=(0.95, 0.99, 0.999),
-        ci_labels=("CI 95%", "CI 99%", "CI 99.9%"),
-        show_ci_labels=True,
-        **kwargs,
-    ):
-        """Posterior mean with Gaussian coverage-interval bands.
+    def plotgp(self, x, mean, variance, colorscheme="default", rgb_hue=None,
+               ax=None, fignum=None, mean_label="posterior mean",
+               show_mean_label=True, ci=(0.95, 0.99, 0.999),
+               ci_labels=("CI 95%", "CI 99%", "CI 99.9%"),
+               show_ci_labels=True, **kwargs):
+        """Posterior mean curve with nested Gaussian credible bands.
 
-        Colorschemes: 'default' (3 nested gray bands), 'simple' (one band),
-        'bw' (edge lines), 'hue' (custom RGB fill).
+        colorscheme:
+          - ``'default'``: three nested gray bands, red mean;
+          - ``'simple'``: one gray band, red mean;
+          - ``'bw'``: one white band with dashed black edges, black mean;
+          - ``'hue'``: one band in the color given by ``rgb_hue`` (3 ints).
         """
-        if not show_mean_label:
-            mean_label = ""
-        ci_labels = list(ci_labels)
-        if not show_ci_labels:
-            ci_labels = [""] * 3
+        del ax, fignum  # accepted for API parity; draws on self.ax
+        x = _host1d(x)
+        mean = _host1d(mean)
+        sd = np.sqrt(_host1d(variance))
 
-        x = np.asarray(gnp.to_np(x)).flatten()
-        mean = np.asarray(gnp.to_np(mean)).flatten()
-        variance = np.asarray(gnp.to_np(variance)).flatten()
+        # z-scores of the two-sided coverage levels, e.g. 0.95 -> 1.96
+        zs = [scipy.stats.norm.ppf(0.5 * (1.0 + lv)) for lv in ci]
+        labels = list(ci_labels) if show_ci_labels else ["", "", ""]
 
-        delta0 = [stats.norm.ppf((1 + level) / 2) for level in ci]
-        drawulb = False
-        edgecol = "#000000"
+        style = self._band_style(colorscheme, rgb_hue)
+        if not style.nested:
+            zs, labels = zs[:1], labels[:1]
+        else:
+            # draw widest band first so narrower ones sit on top
+            zs, labels = zs[::-1], labels[::-1]
+        if style.band_linewidth is not None:
+            kwargs.setdefault("linewidth", style.band_linewidth)
+        kwargs["alpha"] = style.alpha
 
+        self.ax.plot(x, mean, style.mean_color, linewidth=2.0,
+                     label=mean_label if show_mean_label else "")
+
+        ring = np.concatenate([x, x[::-1]])
+        for z, fill, lab in zip(zs, style.fills, labels):
+            hi, lo = mean + z * sd, mean - z * sd
+            self.ax.fill(ring, np.concatenate([hi, lo[::-1]]), color=fill,
+                         label=lab, **kwargs)
+            if style.dashed_edges:
+                for edge in (hi, lo):
+                    self.ax.plot(x, edge, color="#000000", linestyle="dashed",
+                                 dashes=(10, 8), linewidth=0.5)
+
+    @staticmethod
+    def _band_style(colorscheme: str, rgb_hue) -> "_BandStyle":
         if colorscheme == "hue":
-            hex_code = "#" + "".join(format(i, "02x") for i in rgb_hue)
-            mcol, mwidth = hex_code, 2.0
-            delta0, ci_labels = [delta0[0]], [ci_labels[0]]
-            fillcol, alpha = [hex_code], 0.5
-            kwargs["linewidth"] = 0.5
-        elif colorscheme == "bw":
-            mcol, mwidth = "#000000", 2.0
-            delta0, ci_labels = [delta0[0]], [ci_labels[0]]
-            fillcol, alpha = ["#F2F2F2"], 0.0
-            drawulb = True
-        elif colorscheme == "simple":
-            mcol, mwidth = "#F2404C", 2.0
-            delta0, ci_labels = [delta0[0]], [ci_labels[0]]
-            fillcol, alpha = ["#BFBFBF"], 0.8
-            kwargs["linewidth"] = 0.5
-        else:  # default
-            mcol, mwidth = "#F2404C", 2.0
-            delta0, ci_labels = delta0[::-1], ci_labels[::-1]
-            fillcol, alpha = ["#F2F2F2", "#D8D8D8", "#BFBFBF"], 0.8
-            kwargs["linewidth"] = 0.5
+            hexcol = "#%02x%02x%02x" % tuple(rgb_hue)
+            return _BandStyle(mean_color=hexcol, fills=[hexcol], alpha=0.5,
+                              nested=False, band_linewidth=0.5)
+        if colorscheme == "bw":
+            return _BandStyle(mean_color="#000000", fills=["#F2F2F2"], alpha=0.0,
+                              nested=False, dashed_edges=True)
+        if colorscheme == "simple":
+            return _BandStyle(mean_color="#F2404C", fills=["#BFBFBF"], alpha=0.8,
+                              nested=False, band_linewidth=0.5)
+        # 'default': widest-to-narrowest fill colors, light to dark
+        return _BandStyle(mean_color="#F2404C",
+                          fills=["#F2F2F2", "#D8D8D8", "#BFBFBF"], alpha=0.8,
+                          nested=True, band_linewidth=0.5)
 
-        self.ax.plot(x, mean, mcol, linewidth=mwidth, label=mean_label)
 
-        for i, delta in enumerate(delta0):
-            kwargs["alpha"] = alpha
-            lower = mean - delta * np.sqrt(variance)
-            upper = mean + delta * np.sqrt(variance)
-            self.ax.fill(
-                np.hstack((x, x[::-1])),
-                np.hstack((upper, lower[::-1])),
-                color=fillcol[i],
-                label=ci_labels[i],
-                **kwargs,
-            )
-            if drawulb:
-                for curve in (upper, lower):
-                    self.ax.plot(
-                        x, curve, color=edgecol, linestyle="dashed",
-                        dashes=(10, 8), linewidth=0.5,
-                    )
+@dataclass
+class _BandStyle:
+    mean_color: str
+    fills: List[str]
+    alpha: float
+    nested: bool
+    dashed_edges: bool = False
+    band_linewidth: Optional[float] = None
+
+
+# ---------------------------------------------------------------------------
+# Cross-sections
+# ---------------------------------------------------------------------------
+
+
+def _as_index_list(spec, n: int, values: np.ndarray) -> List[int]:
+    """Normalize an anchor spec (None/'min'/'max'/int/sequence) to indices."""
+    if spec is None or spec == "min":
+        idx = [int(np.nanargmin(values))]
+    elif spec == "max":
+        idx = [int(np.nanargmax(values))]
+    elif isinstance(spec, str):
+        raise ValueError("ind_i must be None, 'min', 'max', an int, or a sequence.")
+    elif np.isscalar(spec):
+        idx = [int(spec)]
+    else:
+        idx = [int(k) for k in spec]
+    for k in idx:
+        if not 0 <= k < n:
+            raise IndexError("ind_i contains an out-of-bounds observation index.")
+    return idx
+
+
+def _as_dim_list(spec, d: int) -> List[int]:
+    if spec is None:
+        dims = list(range(d))
+    elif np.isscalar(spec):
+        dims = [int(spec)]
+    else:
+        dims = [int(k) for k in spec]
+    for k in dims:
+        if not 0 <= k < d:
+            raise IndexError("ind_dim contains an out-of-bounds dimension index.")
+    return dims
+
+
+def _slice_through(anchor: np.ndarray, dim: int, lo: float, hi: float,
+                   nt: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Points varying coordinate ``dim`` of ``anchor`` over [lo, hi].
+
+    The anchor's own coordinate is inserted into the grid so the slice
+    passes exactly through the observation.  Returns (t, xt) with t sorted.
+    """
+    t = np.sort(np.append(np.linspace(lo, hi, nt - 1), anchor[dim]))
+    xt = np.broadcast_to(anchor, (nt, anchor.size)).copy()
+    xt[:, dim] = t
+    return t, xt
 
 
 def crosssections(model, xi, zi, box, ind_i=None, ind_dim=None, nt=100,
                   show_data=True, figsize=None):
-    """Prediction cross-sections: sweep one coordinate from an anchor
-    observation, plotting posterior mean + CI along each slice."""
+    """1-D posterior slices: vary one coordinate of an anchor observation
+    across its box range and plot mean + credible bands along the slice.
+
+    Grid: one row per dimension in ``ind_dim``, one column per anchor in
+    ``ind_i`` ('min'/'max' pick the arg-extremum observation).
+    """
     xi_np = np.asarray(gnp.to_np(gnp.asarray(xi)))
     zi_np = np.asarray(gnp.to_np(gnp.asarray(zi)))
     box = np.asarray(box, dtype=float)
@@ -207,88 +276,45 @@ def crosssections(model, xi, zi, box, ind_i=None, ind_dim=None, nt=100,
 
     if xi_np.ndim != 2:
         raise ValueError("xi must have shape (n, d).")
-    if box.shape != (2, xi_np.shape[1]):
+    n, d = xi_np.shape
+    if box.shape != (2, d):
         raise ValueError("box must have shape (2, d).")
-    if zi_np.shape[0] != xi_np.shape[0] or zi_np.size != xi_np.shape[0]:
+    if zi_np.shape[0] != n or zi_np.size != n:
         raise ValueError("zi must be scalar-valued with shape (n,) or (n, 1).")
     if nt < 2:
         raise ValueError("nt must be >= 2.")
+    z_vec = zi_np.reshape(-1)
 
-    zi_vec = zi_np.reshape(-1)
+    anchors = _as_index_list(ind_i, n, z_vec)
+    dims = _as_dim_list(ind_dim, d)
 
-    if ind_i is None:
-        ind_i = "min"
-    if isinstance(ind_i, str):
-        if ind_i == "min":
-            ind_i = [int(np.nanargmin(zi_vec))]
-        elif ind_i == "max":
-            ind_i = [int(np.nanargmax(zi_vec))]
-        else:
-            raise ValueError(
-                "ind_i must be None, 'min', 'max', an int, or a sequence."
-            )
-    elif np.isscalar(ind_i):
-        ind_i = [int(ind_i)]
-    else:
-        ind_i = [int(i) for i in ind_i]
+    ncols, nrows = len(anchors), len(dims)
+    fig = Figure(nrows, ncols,
+                 figsize=figsize or (4.8 * ncols, 2.4 * nrows))
 
-    if ind_dim is None:
-        ind_dim = list(range(xi_np.shape[1]))
-    elif np.isscalar(ind_dim):
-        ind_dim = [int(ind_dim)]
-    else:
-        ind_dim = [int(d) for d in ind_dim]
+    for col, a in enumerate(anchors):
+        for row, dim in enumerate(dims):
+            t, xt = _slice_through(xi_np[a], dim, box[0, dim], box[1, dim], nt)
+            pm, pv = model.predict(xi, zi, gnp.asarray(xt))
+            pm = _host1d(pm)
+            pv = np.clip(_host1d(pv), 0.0, None)
 
-    num_cs, num_dims = len(ind_i), len(ind_dim)
-    if figsize is None:
-        figsize = (4.8 * num_cs, 2.4 * num_dims)
-
-    fig = Figure(num_dims, num_cs, figsize=figsize)
-
-    for i in range(num_cs):
-        anchor = ind_i[i]
-        if not (0 <= anchor < xi_np.shape[0]):
-            raise IndexError("ind_i contains an out-of-bounds observation index.")
-        for d in range(num_dims):
-            dim_idx = ind_dim[d]
-            if not (0 <= dim_idx < xi_np.shape[1]):
-                raise IndexError("ind_dim contains an out-of-bounds dimension index.")
-
-            t = np.sort(
-                np.concatenate(
-                    (
-                        np.linspace(box[0, dim_idx], box[1, dim_idx], nt - 1),
-                        [xi_np[anchor, dim_idx]],
-                    )
-                )
-            )
-            xt = np.tile(xi_np[anchor, :], (nt, 1))
-            xt[:, dim_idx] = t
-            zpm, zpv = model.predict(xi, zi, gnp.asarray(xt))
-            zpm = np.asarray(gnp.to_np(zpm)).reshape(-1)
-            zpv = np.maximum(np.asarray(gnp.to_np(zpv)).reshape(-1), 0.0)
-
-            fig.subplot(num_cs * d + i + 1)
-            first = i == 0 and d == 0
-            fig.plotgp(t, zpm, zpv, show_mean_label=first, show_ci_labels=first)
+            fig.subplot(ncols * row + col + 1)
+            lead = col == 0 and row == 0  # legend entries only once
+            fig.plotgp(t, pm, pv, show_mean_label=lead, show_ci_labels=lead)
             if show_data:
-                fig.ax.plot(
-                    xi_np[:, dim_idx], zi_vec, "ko", alpha=0.25, markersize=3,
-                    label="projected observations" if first else None,
-                )
-                fig.ax.plot(
-                    xi_np[anchor, dim_idx], zi_vec[anchor], "ro", markersize=5,
-                    label="anchor" if first else None,
-                )
-            fig.ax.axvline(xi_np[anchor, dim_idx], color="k", linestyle=":",
-                           linewidth=1)
+                fig.ax.plot(xi_np[:, dim], z_vec, "ko", alpha=0.25, markersize=3,
+                            label="projected observations" if lead else None)
+                fig.ax.plot(xi_np[a, dim], z_vec[a], "ro", markersize=5,
+                            label="anchor" if lead else None)
+            fig.ax.axvline(xi_np[a, dim], color="k", linestyle=":", linewidth=1)
             fig.grid()
-            fig.ax.set_xlabel(rf"$x_{dim_idx:d}$")
-            if i == 0:
-                fig.ax.set_ylabel(rf"$z$ along $x_{dim_idx:d}$")
-            if d == 0:
-                fig.ax.set_title(f"cross section {i + 1:d}")
-            if first and show_data:
+            fig.ax.set_xlabel(rf"$x_{dim:d}$")
+            if col == 0:
+                fig.ax.set_ylabel(rf"$z$ along $x_{dim:d}$")
+            if row == 0:
+                fig.ax.set_title(f"cross section {col + 1:d}")
+            if lead and show_data:
                 fig.ax.legend(fontsize=8)
 
     fig.fig.tight_layout()
@@ -296,17 +322,14 @@ def crosssections(model, xi, zi, box, ind_i=None, ind_dim=None, nt=100,
 
 
 def plot_loo(zi, zloom, zloov):
-    """LOO predicted-vs-true with 95% coverage error bars."""
+    """Leave-one-out predicted-vs-observed scatter with 95% error bars and
+    the y = x diagonal."""
+    zi, zloom, zloov = (np.asarray(gnp.to_np(v)) for v in (zi, zloom, zloov))
     fig = Figure()
-    zi = np.asarray(gnp.to_np(zi))
-    zloom = np.asarray(gnp.to_np(zloom))
-    zloov = np.asarray(gnp.to_np(zloov))
     fig.ax.errorbar(zi, zloom, 1.96 * np.sqrt(zloov), fmt="ko", ls="None")
-    fig.ax.set_xlabel("true values")
-    fig.ax.set_ylabel("predicted")
-    fig.ax.set_title("LOO predictions with 95% coverage intervals")
-    (xmin, xmax), (ymin, ymax) = fig.ax.get_xlim(), fig.ax.get_ylim()
-    lo, hi = min(xmin, ymin), max(xmax, ymax)
-    fig.ax.plot([lo, hi], [lo, hi], "--")
-    fig.ax.grid(True, "major", linestyle=(0, (1, 5)), linewidth=0.5)
+    fig.xylabels("true values", "predicted")
+    fig.title("LOO predictions with 95% coverage intervals")
+    span = (min(*fig.xlim(), *fig.ylim()), max(*fig.xlim(), *fig.ylim()))
+    fig.ax.plot(span, span, "--")
+    fig.grid()
     fig.show()
