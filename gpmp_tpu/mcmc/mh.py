@@ -89,7 +89,13 @@ class MHOptions:
     # no checkpointing anywhere, SURVEY.md section 5): when
     # checkpoint_path is set, the full sampler state is written there
     # every checkpoint_every advance blocks; resume with
-    # MetropolisHastings.restore_checkpoint + continue_run
+    # MetropolisHastings.restore_checkpoint + continue_run.
+    # Granularity caveat: checkpoints only land on dispatch boundaries.
+    # During burn-in that is every adaptation block; in the frozen
+    # sampling phase it is every max_steps_per_dispatch steps, so a
+    # frozen phase shorter than max_steps_per_dispatch produces no
+    # intermediate checkpoints -- lower max_steps_per_dispatch if a
+    # crash mid-sampling must lose less than that many steps
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 10
     # frozen-phase dispatch ceiling: run_samples splits requests larger
@@ -224,7 +230,14 @@ class MetropolisHastings:
     def _fall_back_to_sequential_target(self, exc):
         if self._sequential_target:
             raise exc
-        get_logger().info(
+        # only trace-time failures mean "this target cannot vmap over
+        # chains"; runtime/device errors (OOM, interrupts) would make the
+        # permanent switch to lax.map a silent order-of-magnitude slowdown
+        # for an unrelated, possibly transient cause -- re-raise those
+        if isinstance(exc, (RuntimeError, jax.errors.JaxRuntimeError,
+                            KeyboardInterrupt, MemoryError)):
+            raise exc
+        get_logger().warning(
             "log-target is not vmappable over chains (%s); switching to "
             "sequential per-chain evaluation (lax.map).", type(exc).__name__,
         )
@@ -711,6 +724,8 @@ class MetropolisHastings:
         n_blocks = n_samples // self.options.adaptation_interval
         remainder = n_samples - n_blocks * self.options.adaptation_interval
         method = self.options.adaptation_method.lower()
+        if method not in ("rm", "haario"):
+            raise ValueError("adaptation_method must be 'RM' or 'Haario'.")
         K = max(1, int(self.options.blocks_per_dispatch))
         if K > 1:
             block = 0

@@ -937,6 +937,7 @@ def nuts_sample(log_prob, q_init, num_samples,
             "step_size": float(step_size),
             "step_size_final": float(step_size_final),
             "vmap_chains": vmap_chains,
+            "checkpoint_every": int(opts.checkpoint_every),
         }
         q = _run_sampling_chunks(
             transition, log_prob, q, step_keys, 0, traces,
@@ -1118,10 +1119,17 @@ def nuts_resume(log_prob, checkpoint_path, verbose=1):
                                         "dim", "max_depth", "delta_max",
                                         "step_size", "step_size_final")}
     meta_common["vmap_chains"] = bool(meta.get("vmap_chains", True))
+    # honor the original run's checkpoint cadence (older checkpoints
+    # without the field fall back to ~10% chunks)
+    ckpt_every = int(meta.get(
+        "checkpoint_every",
+        num_samples // 10 if num_samples >= 10 else num_samples,
+    ))
+    meta_common["checkpoint_every"] = ckpt_every
     _run_sampling_chunks(
         transition, log_prob, q, step_keys, t_done, traces,
         step_size, inv_mass_diag, delta_max,
-        max(1, num_samples // 10 if num_samples >= 10 else num_samples),
+        max(1, ckpt_every),
         _make_nuts_saver(checkpoint_path, np.asarray(arrays["sub"]),
                          mass_diag, traces, warmup_arrays, meta_common),
         vmap_chains=bool(meta.get("vmap_chains", True)),

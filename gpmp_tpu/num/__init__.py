@@ -55,7 +55,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # time by ~3x on TPU.  GPMP_COMPILE_CACHE=0 disables; any other value
 # overrides the cache directory.
 _cache_spec = os.environ.get("GPMP_COMPILE_CACHE", "")
-if _cache_spec != "0":
+_user_cache = getattr(jax.config, "jax_compilation_cache_dir", None)
+if _cache_spec != "0" and not _user_cache:
+    # honor a cache dir the host application configured before import;
+    # only install ours when none is set (see README "side effects")
     _cache_dir = _cache_spec or os.path.join(
         os.path.expanduser("~"), ".cache", "gpmp_tpu", "xla"
     )
@@ -395,14 +398,13 @@ def qr(a, mode="reduced"):
 
 
 def slogdet(A):
-    """(sign, log|det A|) via QR: |det A| = prod |diag(R)|, and the sign is
-    recovered from det(Q) * prod sign(diag R).  det(Q) for a Householder Q
-    is (-1)^k with k reflections -- not directly exposed, so for general
-    matrices we only guarantee the absolute part; symmetric-PD callers
-    should use logdet().  LU-free by design (TPU compile path)."""
-    R = jnp.linalg.qr(A, mode="r")
-    diag = jnp.diag(R)
-    return jnp.prod(jnp.sign(diag)), jnp.sum(jnp.log(jnp.abs(diag)))
+    """(sign, log|det A|) for a general square matrix.
+
+    Uses jnp.linalg.slogdet(method='qr'): Householder QR with the
+    reflector count tracked, so the SIGN is exact for any invertible A
+    (the naive prod(sign(diag R)) misses det(Q) = +-1).  LU-free by
+    design (TPU compile path; reference numpy_backend.py slogdet)."""
+    return jnp.linalg.slogdet(A, method="qr")
 
 
 def logdet(A):
@@ -766,12 +768,20 @@ class BatchDifferentiableSelectionCriterion:
 
 
 class SecondOrderDifferentiableFunction:
-    """Value/gradient/Hessian of a scalar function (jax.hessian)."""
+    """Value/gradient/Hessian of a scalar function (jax.hessian).
+
+    jax.hessian is forward-over-reverse; the mixed Cholesky engine's
+    custom VJP supports reverse mode only, so when the target function
+    routes through it the Hessian trace raises a TypeError.  Rather
+    than surfacing that to the caller, hessian() retraces once with
+    GPMP_CHOL_ENGINE=f64 pinned (engine dispatch is a trace-time env
+    read) and logs the switch."""
 
     def __init__(self, f):
         self.f = f
         self._g = jax.jit(jax.grad(f))
         self._h = jax.jit(jax.hessian(f))
+        self._h_fallback = None
         self._theta = None
         self._value = None
 
@@ -784,7 +794,28 @@ class SecondOrderDifferentiableFunction:
         return self._g(self._theta)
 
     def hessian(self):
-        return self._h(self._theta)
+        if self._h_fallback is not None:
+            return self._h_fallback(self._theta)
+        try:
+            return self._h(self._theta)
+        except TypeError:
+            from gpmp_tpu.config import get_logger
+
+            get_logger().warning(
+                "jax.hessian does not support the mixed Cholesky engine's "
+                "reverse-only custom VJP; retracing this Hessian with the "
+                "exact f64 engine."
+            )
+            env = os.environ.get("GPMP_CHOL_ENGINE")
+            os.environ["GPMP_CHOL_ENGINE"] = "f64"
+            try:
+                self._h_fallback = jax.jit(jax.hessian(self.f))
+                return self._h_fallback(self._theta)
+            finally:
+                if env is None:
+                    os.environ.pop("GPMP_CHOL_ENGINE", None)
+                else:
+                    os.environ["GPMP_CHOL_ENGINE"] = env
 
 
 def _is_linalg_exception(exc: Exception) -> bool:

@@ -25,7 +25,21 @@ from jax import shard_map
 
 import gpmp_tpu.num as gnp
 from gpmp_tpu.core.likelihood import _nan_to_inf
+from gpmp_tpu.core.linalg import chol_engine
 from .chol import sharded_solve_and_logdet
+from .mixed import sharded_mp_solve_and_logdet
+
+
+def _engine_solve_and_logdet(K, rhs, mesh, axis_name, block):
+    """Dispatch to the mixed-precision sharded engine when configured
+    (GPMP_CHOL_ENGINE=mixed), else the exact-f64 distributed Cholesky."""
+    if K.dtype == jnp.float64 and chol_engine(K.shape[0]) == "mixed":
+        return sharded_mp_solve_and_logdet(
+            K, rhs, mesh, axis_name=axis_name, block=block
+        )
+    return sharded_solve_and_logdet(
+        K, rhs, mesh, axis_name=axis_name, block=block
+    )
 
 
 def _diag_correction(model, covparam, xi, block=256):
@@ -111,9 +125,7 @@ def sharded_negative_log_restricted_likelihood(
     Pd = model.mean(xi, model.meanparam)
     n, q = Pd.shape
     rhs = jnp.concatenate([zi.reshape(-1, 1), Pd], axis=1)
-    X, ldetK = sharded_solve_and_logdet(
-        K, rhs, mesh, axis_name=axis_name, block=block
-    )
+    X, ldetK = _engine_solve_and_logdet(K, rhs, mesh, axis_name, block)
     Kinv_z = X[:, 0]
     Kinv_P = X[:, 1:]
     M = Pd.T @ Kinv_P
@@ -137,8 +149,6 @@ def sharded_negative_log_likelihood_zero_mean(
     )
     K = cov(covparam)
     n = K.shape[0]
-    Kinv_z, ldetK = sharded_solve_and_logdet(
-        K, zi, mesh, axis_name=axis_name, block=block
-    )
+    Kinv_z, ldetK = _engine_solve_and_logdet(K, zi, mesh, axis_name, block)
     L = 0.5 * (n * log(2.0 * pi) + ldetK + zi @ Kinv_z)
     return _nan_to_inf(L.reshape(()))

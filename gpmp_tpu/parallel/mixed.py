@@ -1,0 +1,247 @@
+# gpmp_tpu/parallel/mixed.py
+"""Mixed-precision sharded solve+logdet: the large-n fast path.
+
+Sharded analogue of the dense mixed engine (ops/mixed.py), rebalanced
+for the cost model of emulated float64 on this TPU generation
+(measured: f64 matmul ~2 TFLOP/s vs f32 ~40 TFLOP/s, f64
+Cholesky/triangular solves latency-bound).  The dense engine forms
+E = M K M^T with two f64 (n, n) matmuls; at large n that dominates, so
+this engine replaces it with the *factorization residual* identity,
+which needs exactly ONE f64 (n, n) matmul:
+
+  L32 = sharded f32 Cholesky of K            (f32 matmuls, cheap)
+  M32 = L32^{-1}  (blocked f32 solves)       (f32 matmuls, cheap)
+  R   = K - L32 L32^T                        (the one f64 matmul)
+  log det K = 2 sum log diag L32 + log det(I + H),   H = M32 R M32^T
+
+H is computed with f32 matmuls: its entries carry the f64-quality
+information of R with only eps32 *relative* error, and log det(I + H)
+is evaluated by a quartic trace series whose contractions run in f64.
+Using the approximate inverse M32 instead of the exact L32^{-1} in H
+perturbs the correction only at second order (error ~ |H| * eps32).
+
+Solves are f32-preconditioner refinement exactly as in the dense
+engine: x += M^T M (b - K x) with f64 residuals (O(n^2) f64 per
+sweep).
+
+Backward is an analytic custom VJP with ZERO f64 (n, n) matmuls:
+Kbar = ldbar * Kinv - S X^T with Kinv ~= M^T (I - H + H^2 - H^3) M
+computed in f32.  The eps32-level *random* rounding noise on Kbar
+washes out in the <Kbar, dK/dtheta> contraction (it sums n^2 terms),
+leaving gradient errors far below optimizer tolerances, while the
+criterion VALUE keeps ~1e-9 relative agreement with the f64 engine
+(tests/test_parallel_chol.py).
+
+Convergence guards mirror ops/mixed.py: solves check their final
+relative residual, the logdet series checks |H|_F^2 < tau and falls
+back to a second f32 factorization level (of I + H) for ill-
+conditioned K; past that, NaN -> the criterion wrappers map to +inf.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .chol import (
+    _blocked_solve_lower_impl,
+    _sharded_cholesky_impl,
+)
+
+DEFAULT_REFINE_ITERS = 4
+_RIDGE_FACTOR = 10.0
+_SOLVE_RTOL2 = 1e-12          # as ops/mixed.py
+_SERIES_TAU = 1e-4            # |H|_F^2 bound for the quartic series
+_LEVEL2_TAU = 1e-8            # |G|_F^2 bound inside the robust branch
+                              # (as ops/mixed.py _LOGDET_FTOL2)
+
+
+def _row_shard(x, mesh, axis_name):
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1))))
+    )
+
+
+def _f32mm(a, b):
+    """f32 matmul (inputs already f32); sharding follows operands."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _plain_f32_tri_pair(E32):
+    """(F, F^{-1}) for a near-identity SPD f32 matrix, via the plain XLA
+    Cholesky / triangular-solve ops (single HLO ops; used only on the
+    robust branch where a nested sharded factorization would bloat the
+    compiled program).  GSPMD replicates these ops on a mesh -- fine for
+    a fallback path."""
+    n = E32.shape[0]
+    ridge = _RIDGE_FACTOR * jnp.finfo(jnp.float32).eps * (jnp.trace(E32) / n)
+    F = jnp.linalg.cholesky(E32 + ridge * jnp.eye(n, dtype=jnp.float32))
+    MF = jax.scipy.linalg.solve_triangular(
+        F, jnp.eye(n, dtype=jnp.float32), lower=True
+    )
+    return F, MF
+
+
+def _sharded_f32_preconditioner(K, mesh, axis_name, block):
+    """(L32, M32 = L32^{-1}) of the ridged f32 cast of K, both f32 and
+    row-sharded.  The ridge (~10 eps32 mean diag) keeps the f32
+    factorization alive near the f32 conditioning edge; the residual
+    identity absorbs it exactly."""
+    n = K.shape[0]
+    K32 = K.astype(jnp.float32)
+    ridge = _RIDGE_FACTOR * jnp.finfo(jnp.float32).eps * (jnp.trace(K32) / n)
+    K32 = K32 + ridge * jnp.eye(n, dtype=jnp.float32)
+    L32 = _sharded_cholesky_impl(
+        K32, mesh, axis_name=axis_name, block=block, panel_impl="direct"
+    )
+    eye32 = _row_shard(jnp.eye(n, dtype=jnp.float32), mesh, axis_name)
+    M32 = _blocked_solve_lower_impl(L32, eye32, block, mesh, axis_name)
+    return L32, M32
+
+
+def _apply_precond(M32, R64):
+    """M^T (M r) in f64 matvec form -- (n, m) RHS, O(n^2 m) f64."""
+    M64 = M32.astype(R64.dtype)
+    return M64.T @ (M64 @ R64)
+
+
+def _refined_solve(K, B, M32, n_refine):
+    """K X = B by f32-preconditioned refinement with f64 residuals.
+    NaN on non-convergence (relative residual guard)."""
+    squeeze = B.ndim == 1
+    Bm = B.reshape(-1, 1) if squeeze else B
+    X = _apply_precond(M32, Bm)
+    for _ in range(n_refine):
+        X = X + _apply_precond(M32, Bm - K @ X)
+    R = Bm - K @ X
+    rel2 = jnp.sum(R * R) / jnp.maximum(
+        jnp.sum(Bm * Bm), jnp.finfo(K.dtype).tiny
+    )
+    X = jnp.where(rel2 < _SOLVE_RTOL2, X, jnp.nan)
+    return X.reshape(-1) if squeeze else X
+
+
+def _trace_dot(A, B_t):
+    """tr(A @ B) = sum(A * B^T) with the contraction in f64 (entries may
+    be f32 -- the promotion is elementwise, no f64 matmul)."""
+    return jnp.sum(A.astype(jnp.float64) * B_t.astype(jnp.float64))
+
+
+def _mp_core(K, B, mesh, axis_name, block, n_refine):
+    """Shared forward: returns (X, ld, residuals-for-vjp)."""
+    n = K.shape[0]
+    L32, M32 = _sharded_f32_preconditioner(K, mesh, axis_name, block)
+
+    # the ONE f64 (n, n) matmul: factorization residual
+    L64 = L32.astype(jnp.float64)
+    Rres = K - L64 @ L64.T
+    Rres = _row_shard(Rres, mesh, axis_name)
+
+    R32 = Rres.astype(jnp.float32)
+    H = _f32mm(M32, _f32mm(R32, M32.T))       # H = M R M^T, f32
+    H = _row_shard(H, mesh, axis_name)
+    H2 = _row_shard(_f32mm(H, H), mesh, axis_name)
+
+    base = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L32).astype(jnp.float64)))
+    c1 = jnp.sum(jnp.diagonal(H).astype(jnp.float64))
+    c2 = _trace_dot(H, H.T)
+    c3 = _trace_dot(H2, H.T)
+    c4 = _trace_dot(H2, H2.T)
+
+    def _series(_):
+        return base + c1 - c2 / 2.0 + c3 / 3.0 - c4 / 4.0
+
+    def _robust(_):
+        # Ill-conditioned K: the series in H diverges.  Second-level
+        # identity exactly as the dense engine (ops/mixed.py
+        # _level2_logdet): factor E = I + H with the PLAIN XLA f32
+        # Cholesky (one HLO op -- a second nested sharded fori-loop
+        # factorization is what overwhelmed the TPU compiler).  The
+        # inner defect G = M_F E M_F^T - I hides under the identity, so
+        # the sandwich must run in f64 (f32 would bury G under its own
+        # rounding): two extra f64 (n, n) matmuls, on this branch only.
+        F32, MF32 = _plain_f32_tri_pair(jnp.eye(n, dtype=jnp.float32) + H)
+        E64 = jnp.eye(n, dtype=jnp.float64) + H.astype(jnp.float64)
+        MF64 = MF32.astype(jnp.float64)
+        G = MF64 @ (E64 @ MF64.T) - jnp.eye(n, dtype=jnp.float64)
+        g1 = jnp.trace(G)
+        g2 = jnp.sum(G * G)
+        ld2 = (base
+               + 2.0 * jnp.sum(jnp.log(jnp.diagonal(F32).astype(jnp.float64)))
+               + g1 - g2 / 2.0)
+        return jnp.where(g2 < _LEVEL2_TAU, ld2, jnp.nan)
+
+    # NaN c2 (failed f32 factorization) compares False -> robust -> NaN
+    ld = jax.lax.cond(c2 < _SERIES_TAU, _series, _robust, None)
+
+    X = _refined_solve(K, B, M32, n_refine)
+    return X, ld, (K, M32, H, H2, X)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _mp_sal(mesh, axis_name, block, n_refine, K, B):
+    X, ld, _ = _mp_core(K, B, mesh, axis_name, block, n_refine)
+    return X, ld
+
+
+def _mp_sal_fwd(mesh, axis_name, block, n_refine, K, B):
+    X, ld, res = _mp_core(K, B, mesh, axis_name, block, n_refine)
+    return (X, ld), res
+
+
+def _mp_sal_bwd(mesh, axis_name, block, n_refine, res, cot):
+    """All-f32 backward (see module docstring for the error analysis).
+
+    Kbar = ldbar * Kinv - S X^T,  Bbar = S = K^{-1} Xbar, with
+    Kinv ~= M^T (I - H + H^2 - H^3) M evaluated by f32 matmuls.
+    """
+    Xbar, ldbar = cot
+    K, M32, H, H2, X = res
+
+    squeeze = Xbar.ndim == 1
+    Xb = Xbar.reshape(-1, 1) if squeeze else Xbar
+    Xm = X.reshape(-1, 1) if squeeze else X
+    S = _refined_solve(K, Xb, M32, n_refine)
+
+    c2 = jnp.sum(H.astype(jnp.float64) * H.T.astype(jnp.float64))
+
+    def _series_inv(_):
+        # Kinv ~= M^T (I - H + H^2 - H^3) M, error O(|H|^4)
+        H3 = _f32mm(H, H2)
+        Z = H - H2 + H3
+        return _f32mm(M32.T, M32) - _f32mm(M32.T, _f32mm(Z, M32))
+
+    def _robust_inv(_):
+        # second-level preconditioner: Kinv ~= (M_F M)^T (M_F M) with
+        # relative error |G| ~ eps32 -- ample for gradient use
+        n = K.shape[0]
+        _F, MF32 = _plain_f32_tri_pair(jnp.eye(n, dtype=jnp.float32) + H)
+        W = _f32mm(MF32, M32)
+        return _f32mm(W.T, W)
+
+    Kinv32 = jax.lax.cond(c2 < _SERIES_TAU, _series_inv, _robust_inv, None)
+    Kinv = _row_shard(Kinv32.astype(jnp.float64), mesh, axis_name)
+
+    Kbar = ldbar * Kinv - S @ Xm.T
+    Bbar = S.reshape(Xbar.shape)
+    return Kbar, Bbar
+
+
+_mp_sal.defvjp(_mp_sal_fwd, _mp_sal_bwd)
+
+
+def sharded_mp_solve_and_logdet(K, B, mesh, axis_name="shard", block=512,
+                                n_refine=DEFAULT_REFINE_ITERS):
+    """(K^{-1} B, log det K) to ~f64 accuracy with one f64 (n, n) matmul.
+
+    K row-sharded over the mesh (or replicated on a 1-device mesh); B is
+    (n,) or (n, m) with small m.  Differentiable via the analytic custom
+    VJP above.  Non-PD or f32-intractable K yields NaN outputs, which
+    the criterion wrappers map to +inf.
+    """
+    if mesh is not None:
+        K = jax.device_put(K, NamedSharding(mesh, P(axis_name, None)))
+    return _mp_sal(mesh, axis_name, block, n_refine, K, B)

@@ -88,6 +88,23 @@ def test_logdet():
     assert np.isnan(float(gnp.logdet(gnp.asarray(-np.eye(3)))))
 
 
+def test_slogdet_sign_general_matrices():
+    # the sign must be exact for general (non-SPD) matrices, including
+    # negative determinants -- QR-with-reflector-count, not prod(diag R)
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        A = rng.normal(size=(8, 8))
+        s_ref, ld_ref = np.linalg.slogdet(A)
+        s, ld = gnp.slogdet(gnp.asarray(A))
+        assert float(s) == pytest.approx(s_ref)
+        np.testing.assert_allclose(float(ld), ld_ref, rtol=1e-10)
+    # deterministic negative-determinant case: permutation swap
+    A = np.eye(5)
+    A[[0, 1]] = A[[1, 0]]
+    s, _ld = gnp.slogdet(gnp.asarray(A))
+    assert float(s) == -1.0
+
+
 def test_solve_and_inv_qr_based():
     rng = np.random.default_rng(9)
     A = rng.normal(size=(7, 7)) + 7 * np.eye(7)

@@ -1,0 +1,142 @@
+# tests/test_parallel_mixed.py
+"""Mixed-precision sharded solve+logdet engine (parallel/mixed.py) vs
+f64 oracles on the virtual 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import gpmp_tpu as gp
+import gpmp_tpu.num as gnp
+from gpmp_tpu.parallel import make_mesh
+from gpmp_tpu.parallel.likelihood import (
+    sharded_negative_log_restricted_likelihood,
+)
+from gpmp_tpu.parallel.mixed import sharded_mp_solve_and_logdet
+
+N, BLOCK = 512, 64
+
+
+def _spd(n, cond=1e4, seed=0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    eigs = np.logspace(0, -np.log10(cond), n)
+    return Q @ np.diag(eigs) @ Q.T
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, axis_name="shard")
+
+
+def test_mp_solve_and_logdet_matches_oracle(mesh):
+    K = _spd(N, seed=1)
+    rng = np.random.default_rng(2)
+    B = rng.normal(size=(N, 4))
+    X, ld = jax.jit(
+        lambda K, B: sharded_mp_solve_and_logdet(K, B, mesh, block=BLOCK)
+    )(gnp.asarray(K), gnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(K, B),
+                               rtol=1e-7, atol=1e-9)
+    _s, ld_ref = np.linalg.slogdet(K)
+    np.testing.assert_allclose(float(ld), ld_ref, rtol=1e-9)
+
+
+def test_mp_logdet_robust_branch(mesh):
+    # cond ~ 3e5 pushes |H|_F^2 past the series guard onto the
+    # second-level branch; the identity must still hold to ~1e-8 rel
+    # (absolute tolerance scaled to the logdet magnitude).
+    K = _spd(N, cond=3e5, seed=3)
+    b = np.ones(N)
+    _X, ld = jax.jit(
+        lambda K, b: sharded_mp_solve_and_logdet(K, b, mesh, block=BLOCK)
+    )(gnp.asarray(K), gnp.asarray(b))
+    _s, ld_ref = np.linalg.slogdet(K)
+    assert abs(float(ld) - ld_ref) < 1e-6 * max(abs(ld_ref), 1.0)
+
+
+def test_mp_gradient_matches_closed_form(mesh):
+    # d/dt [logdet(K + tV) + 1^T (K + tV)^{-1} b] at t=0 has the exact
+    # closed form tr(K^{-1} V) - 1^T K^{-1} V K^{-1} b (FD probes are
+    # curvature-limited here and much less accurate than the VJP)
+    K = _spd(N, cond=1e2, seed=4)
+    rng = np.random.default_rng(5)
+    b = rng.normal(size=N)
+    V = rng.normal(size=(N, N))
+    V = (V + V.T) / 2
+    Kj, bj, Vj = gnp.asarray(K), gnp.asarray(b), gnp.asarray(V)
+
+    def f(t):
+        X, ld = sharded_mp_solve_and_logdet(Kj + t * Vj, bj, mesh,
+                                            block=BLOCK)
+        return ld + jnp.sum(X)
+
+    g = float(jax.jit(jax.grad(f))(jnp.float64(0.0)))
+    Kinv = np.linalg.inv(K)
+    g_exact = np.trace(Kinv @ V) - np.ones(N) @ Kinv @ V @ (Kinv @ b)
+    np.testing.assert_allclose(g, g_exact, rtol=1e-7)
+
+
+def test_mp_non_pd_yields_nan(mesh):
+    K = -np.eye(N)
+    b = np.ones(N)
+    X, ld = jax.jit(
+        lambda K, b: sharded_mp_solve_and_logdet(K, b, mesh, block=BLOCK)
+    )(gnp.asarray(K), gnp.asarray(b))
+    assert not np.isfinite(float(ld))
+    assert not np.all(np.isfinite(np.asarray(X)))
+
+
+def test_sharded_reml_mixed_engine_matches_f64(mesh):
+    rng = np.random.default_rng(42)
+    xi = rng.uniform(size=(N, 3))
+    zi = np.sin(3 * xi[:, 0]) + 0.5 * xi[:, 1] + 0.1 * rng.normal(size=N)
+
+    def mean(x, param):
+        return gnp.ones((x.shape[0], 1))
+
+    def kernel(x, y, param, pairwise=False):
+        sigma2 = gnp.exp(param[0])
+        noise = gnp.exp(param[1])
+        loginvrho = param[2:]
+        if y is x or y is None:
+            if pairwise:
+                return (sigma2 + noise) * gnp.ones((x.shape[0],))
+            K = gnp.scaled_distance(loginvrho, x, x)
+            return sigma2 * gp.kernel.maternp_kernel(2, K) + noise * gnp.eye(
+                K.shape[0]
+            )
+        K = gnp.scaled_distance(loginvrho, x, y)
+        return sigma2 * gp.kernel.maternp_kernel(2, K)
+
+    model = gp.Model(mean, kernel)
+    p0 = gnp.asarray(
+        np.concatenate([[np.log(np.var(zi))], [np.log(0.01)],
+                        -np.log(np.std(xi, axis=0))])
+    )
+    xi, zi = gnp.asarray(xi), gnp.asarray(zi)
+
+    def crit(p):
+        return sharded_negative_log_restricted_likelihood(
+            model, p, xi, zi, mesh, block=BLOCK
+        )
+
+    old = os.environ.get("GPMP_CHOL_ENGINE")
+    try:
+        os.environ["GPMP_CHOL_ENGINE"] = "f64"
+        v64, g64 = jax.jit(jax.value_and_grad(crit))(p0)
+        os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        vmp, gmp = jax.jit(jax.value_and_grad(crit))(p0)
+    finally:
+        if old is None:
+            os.environ.pop("GPMP_CHOL_ENGINE", None)
+        else:
+            os.environ["GPMP_CHOL_ENGINE"] = old
+
+    np.testing.assert_allclose(float(vmp), float(v64), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(gmp), np.asarray(g64),
+                               rtol=1e-4, atol=1e-7)
