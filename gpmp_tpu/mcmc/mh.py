@@ -130,15 +130,35 @@ class MetropolisHastings:
     def __init__(self, log_target, prop_rnd=None, options: MHOptions = None):
         self.options = options or MHOptions()
         self.log_target = log_target
-        if prop_rnd is not None:
-            raise NotImplementedError(
-                "Custom prop_rnd is not supported by the scan kernel; "
-                "use proposal_distribution_param_init to shape the Gaussian "
-                "random walk."
-            )
+        self.prop_rnd = prop_rnd
 
         self.n_chains = self.options.n_chains
         self.dim = self.options.dim
+        if prop_rnd is not None:
+            # custom proposal: must be a JAX-traceable f(key, x) -> y on
+            # one chain state x of shape (dim,) -- the scan kernel vmaps
+            # it over chains (reference mh.py:132-142 takes a host-side
+            # f(x, chain_idx); the key argument replaces its implicit
+            # global RNG)
+            try:
+                out = jax.eval_shape(
+                    prop_rnd,
+                    jax.ShapeDtypeStruct((2,), jnp.uint32),
+                    jax.ShapeDtypeStruct((self.dim,), gnp._dtype),
+                )
+            except Exception as exc:
+                raise NotImplementedError(
+                    "prop_rnd must be a JAX-traceable callable "
+                    "f(key, x) -> y with x of shape (dim,); host-side "
+                    "proposals cannot run inside the scan kernel "
+                    f"(probe failed with {type(exc).__name__}: {exc})"
+                ) from exc
+            if tuple(out.shape) != (self.dim,):
+                raise ValueError(
+                    f"prop_rnd must return shape ({self.dim},), got "
+                    f"{tuple(out.shape)}"
+                )
+            self._warned_prop_rnd_adaptation = False
         self.symmetric = self.options.symmetric
         self.target_acceptance = self.options.target_acceptance
 
@@ -254,13 +274,18 @@ class MetropolisHastings:
             return self._block_kernel
 
         batched_lt = self._batched_target()
+        prop = self.prop_rnd
 
         def block(x0, lt0, chols, keys):
             def step2(carry, key):
                 x, lt = carry
                 k_prop, k_u = jax.random.split(key)
-                eps = jax.random.normal(k_prop, x.shape, dtype=x.dtype)
-                y = x + jnp.einsum("cij,cj->ci", chols, eps)
+                if prop is None:
+                    eps = jax.random.normal(k_prop, x.shape, dtype=x.dtype)
+                    y = x + jnp.einsum("cij,cj->ci", chols, eps)
+                else:
+                    pkeys = jax.random.split(k_prop, x.shape[0])
+                    y = jax.vmap(prop)(pkeys, x)
                 lt_y = batched_lt(y)
                 log_a = lt_y - lt
                 u = jnp.maximum(
@@ -432,7 +457,11 @@ class MetropolisHastings:
             log_target_x_current = float(
                 self._safe_log_target(jnp.asarray(x_current))
             )
-        y = self.default_prop_rnd(x_current, chain_idx)
+        if self.prop_rnd is not None:
+            self._key, sub = jax.random.split(self._key)
+            y = np.asarray(self.prop_rnd(sub, jnp.asarray(x_current)))
+        else:
+            y = self.default_prop_rnd(x_current, chain_idx)
         log_target_y = float(self._safe_log_target(jnp.asarray(y)))
         log_a = log_target_y - log_target_x_current
         u = max(float(np.random.default_rng().uniform()), 1e-300)
@@ -721,6 +750,8 @@ class MetropolisHastings:
             self._blocks_since_checkpoint = 0
 
     def run_adaptive(self, n_samples):
+        if self._adaptation_bypass(n_samples):
+            return
         n_blocks = n_samples // self.options.adaptation_interval
         remainder = n_samples - n_blocks * self.options.adaptation_interval
         method = self.options.adaptation_method.lower()
@@ -767,12 +798,34 @@ class MetropolisHastings:
                 self.options.haario_adapt_factor_sampling_phase
             )
 
+    def _adaptation_bypass(self, n_samples):
+        """With a custom prop_rnd there is nothing to adapt: Haario/RM
+        tune the Gaussian random walk the custom proposal replaces.  Run
+        the fixed-proposal kernel instead (warning once)."""
+        if self.prop_rnd is None:
+            return False
+        if not self._warned_prop_rnd_adaptation:
+            get_logger().warning(
+                "custom prop_rnd replaces the Gaussian random walk, so "
+                "Haario/RM adaptation does not apply; running the "
+                "adaptation/burn-in phase with the fixed custom proposal."
+            )
+            self._warned_prop_rnd_adaptation = True
+        self.run_samples(
+            n_samples, show_global_progress=self.options.show_global_progress
+        )
+        return True
+
     def run_burnin(self, burnin_period, diag=True, n_blocks_convergence_diag=20):
         """Burn-in block loop with early stopping on (acceptance window AND
         Gelman-Rubin) convergence (reference mh.py:534-618)."""
+        if self._adaptation_bypass(burnin_period):
+            return
         n_blocks = burnin_period // self.options.adaptation_interval
         remainder = burnin_period - n_blocks * self.options.adaptation_interval
         method = self.options.adaptation_method.lower()
+        if method not in ("rm", "haario"):
+            raise ValueError("adaptation_method must be 'RM' or 'Haario'.")
         n_diag_samples = n_blocks_convergence_diag * self.options.adaptation_interval
         converged_early = False
 

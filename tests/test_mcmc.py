@@ -7,6 +7,7 @@ and the param_posterior bridge on a small GP REML criterion."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 import gpmp_tpu as gp
@@ -56,6 +57,41 @@ def test_mh_gaussian_moments():
     gr = mh.check_convergence_gelman_rubin(verbose=False)
     assert gr["rhat"].shape == (2,)
     assert np.all(gr["rhat"] < 1.3)
+
+
+def test_mh_custom_prop_rnd():
+    # traceable custom proposal f(key, x) -> y runs inside the scan
+    # kernel; adaptation is bypassed (nothing to adapt), and the chain
+    # still recovers the target moments (reference mh.py:132-142 API)
+    def prop(key, x):
+        return x + 0.8 * jax.random.normal(key, x.shape, dtype=x.dtype)
+
+    options = MHOptions(
+        dim=2, n_chains=4, n_pool=2, adaptation_interval=50,
+        show_global_progress=False, init_msg=None, seed=0,
+    )
+    mh = MetropolisHastings(log_target=gaussian_log_target, prop_rnd=prop,
+                            options=options)
+    samples = mh.scheduler(
+        chains_state_initial=np.zeros(2), n_steps_total=4000,
+        burnin_period=1000,
+    )
+    post = np.asarray(samples)[:, mh.burnin_period:, :].reshape(-1, 2)
+    np.testing.assert_allclose(post.mean(axis=0), TARGET_MEAN, atol=0.3)
+    np.testing.assert_allclose(np.cov(post.T), TARGET_COV, atol=0.6)
+
+    # one-step host API routes through the custom proposal too
+    y, acc, lt_y, lt_x = mh.mhstep(np.zeros(2), 0)
+    assert np.asarray(y).shape == (2,)
+
+    # non-traceable callables keep the explicit NotImplementedError
+    def host_prop(key, x):
+        import numpy as onp
+        return onp.asarray(x) + onp.random.default_rng(0).normal(size=2)
+
+    with pytest.raises((NotImplementedError, ValueError)):
+        MetropolisHastings(log_target=gaussian_log_target,
+                           prop_rnd=host_prop, options=options)
 
 
 def test_mh_ks_statistics_shape():
