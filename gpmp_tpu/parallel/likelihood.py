@@ -76,11 +76,18 @@ def sharded_covariance(model, covparam, xi, mesh, axis_name="shard"):
     (n/n_dev, n) slab locally from a replicated copy of xi (the only
     communication is the O(n d) broadcast of the points)."""
     n = xi.shape[0]
-    n_dev = mesh.shape[axis_name]
+    n_dev = 1 if mesh is None else mesh.shape[axis_name]
     if n % n_dev != 0:
         raise ValueError("n must be divisible by the mesh axis size")
     n_loc = n // n_dev
     corr = _diag_correction(model, covparam, xi)
+
+    if n_dev == 1:
+        # single device: no shard_map, no broadcast -- just the
+        # cross-covariance with the measured self-branch diagonal
+        xc = xi + jnp.zeros_like(xi)          # defeat the `y is x` branch
+        Kl = model.covariance(xi, xc, covparam)
+        return Kl + jnp.diag(corr)
 
     def per_shard(x_loc, x_full, corr_loc, covparam):
         Kl = model.covariance(x_loc, x_full, covparam)

@@ -47,6 +47,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .chol import (
     _blocked_solve_lower_impl,
     _sharded_cholesky_impl,
+    _single_device,
 )
 
 DEFAULT_REFINE_ITERS = 4
@@ -58,7 +59,7 @@ _LEVEL2_TAU = 1e-8            # |G|_F^2 bound inside the robust branch
 
 
 def _row_shard(x, mesh, axis_name):
-    if mesh is None:
+    if _single_device(mesh, axis_name):
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1))))
@@ -242,6 +243,6 @@ def sharded_mp_solve_and_logdet(K, B, mesh, axis_name="shard", block=512,
     VJP above.  Non-PD or f32-intractable K yields NaN outputs, which
     the criterion wrappers map to +inf.
     """
-    if mesh is not None:
+    if not _single_device(mesh, axis_name):
         K = jax.device_put(K, NamedSharding(mesh, P(axis_name, None)))
     return _mp_sal(mesh, axis_name, block, n_refine, K, B)

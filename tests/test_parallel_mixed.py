@@ -33,6 +33,21 @@ def mesh():
     return make_mesh(8, axis_name="shard")
 
 
+def test_mp_solve_and_logdet_single_device():
+    # 1-device mesh takes the no-shard_map specialization
+    mesh1 = make_mesh(1, axis_name="shard")
+    K = _spd(N, seed=7)
+    rng = np.random.default_rng(8)
+    B = rng.normal(size=(N, 2))
+    X, ld = jax.jit(
+        lambda K, B: sharded_mp_solve_and_logdet(K, B, mesh1, block=BLOCK)
+    )(gnp.asarray(K), gnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(K, B),
+                               rtol=1e-7, atol=1e-9)
+    _s, ld_ref = np.linalg.slogdet(K)
+    np.testing.assert_allclose(float(ld), ld_ref, rtol=1e-9)
+
+
 def test_mp_solve_and_logdet_matches_oracle(mesh):
     K = _spd(N, seed=1)
     rng = np.random.default_rng(2)
