@@ -76,6 +76,17 @@ class NUTSOptions:
     scan_warmup: Optional[bool] = None
     scan_warmup_threshold: int = 300
     scan_warmup_chunk: int = 200
+    # fully fused run: warmup AND sampling as ONE scanned device
+    # program over num_warmup + num_samples steps, with per-step flags
+    # (adapt / in-mass-window / window-end / freeze) selecting the
+    # adaptation behavior in-graph -- mass updates and dual-averaging
+    # restarts included.  One compilation and one dispatch for the
+    # whole run (the segmented scan_warmup path compiles a separate
+    # program per distinct chunk length, which dominates wall-clock on
+    # a high-latency device link).  True / False / None (auto: on when
+    # checkpoint_path is None and the total step count reaches
+    # scan_warmup_threshold).  No intermediate progress output.
+    fused: Optional[bool] = None
 
     # checkpoint/resume of the post-warmup sampling phase (no reference
     # counterpart -- the reference has no checkpointing anywhere,
@@ -702,9 +713,173 @@ def nuts_sample(log_prob, q_init, num_samples,
     logger.log("warmup: start")
     t_warm0 = time.time()
 
+    use_fused = opts.fused
+    if use_fused is None:
+        use_fused = opts.checkpoint_path is None and (
+            num_warmup + num_samples >= int(opts.scan_warmup_threshold)
+        )
+    use_fused = bool(use_fused) and opts.checkpoint_path is None
+
+    samples = accept = divergent = tree_depth = None
+    n_leapfrog = log_target = None
+    if use_fused:
+        # warmup AND sampling as ONE scanned program: per-step flags
+        # select adaptation behavior in-graph (exact mirrors of
+        # DualAveragingState.update, RunningDiagVar.update_batch, the
+        # window-end mass update / dual-averaging restart, and the
+        # end-of-warmup freeze to exp(log_eps_bar)).  One compilation,
+        # one dispatch for the entire run.
+        T = num_warmup + num_samples
+        logger.log(
+            f"fused mode: warmup+sampling as one scanned program "
+            f"({T} steps, single dispatch)"
+        )
+        g_da = float(opts.dual_averaging_gamma)
+        t0_da = float(opts.dual_averaging_t0)
+        kap_da = float(opts.dual_averaging_kappa)
+        muf_da = float(opts.dual_averaging_mu_factor)
+
+        flags = np.zeros((T, 4))
+        flags[:num_warmup, 0] = 1.0                       # adapt (DA)
+        for _ws, _we in windows:                          # in mass window
+            flags[_ws:min(_we, num_warmup), 1] = 1.0
+        for _we in window_end_set:                        # window end
+            if 0 < _we <= num_warmup:
+                flags[_we - 1, 2] = 1.0
+        if num_samples > 0 and num_warmup > 0:
+            flags[num_warmup, 3] = 1.0                    # freeze eps
+
+        @jax.jit
+        def _fused(keys, flags, carry0, dmax):
+            def body(carry, xs):
+                (qc, mu, log_eps, log_eps_bar, h_bar, tda,
+                 wn, wmean, wm2, mass) = carry
+                keys_t, fl = xs
+                adapt, in_w, wend, freeze = fl[0], fl[1], fl[2], fl[3]
+
+                # end-of-warmup freeze: eps <- _clamp(exp(log_eps_bar))
+                ebar = jnp.exp(log_eps_bar)
+                ebar = jnp.where(
+                    jnp.isfinite(ebar) & (ebar > 0.0),
+                    jnp.clip(ebar, eps_min, eps_max), eps_min,
+                )
+                log_eps = jnp.where(freeze > 0.5, jnp.log(ebar), log_eps)
+
+                eps = jnp.clip(jnp.exp(log_eps), eps_min, eps_max)
+                imd = 1.0 / mass
+                q1, a, nlf, depth, div = _batched_transition(
+                    transition, vmap_chains
+                )(keys_t, qc, eps, imd, dmax)
+                lp = _batched_logprob(log_prob, vmap_chains)(q1)
+
+                # dual averaging update (gated by adapt)
+                mean_accept = jnp.mean(a)
+                tda1 = tda + 1.0
+                eta = 1.0 / (tda1 + t0_da)
+                h_bar1 = (1.0 - eta) * h_bar + eta * (
+                    target_accept - mean_accept
+                )
+                log_eps1 = mu - (jnp.sqrt(tda1) / g_da) * h_bar1
+                w = tda1 ** (-kap_da)
+                log_eps_bar1 = w * log_eps1 + (1.0 - w) * log_eps_bar
+                tda = jnp.where(adapt > 0.5, tda1, tda)
+                h_bar = jnp.where(adapt > 0.5, h_bar1, h_bar)
+                log_eps = jnp.where(adapt > 0.5, log_eps1, log_eps)
+                log_eps_bar = jnp.where(
+                    adapt > 0.5, log_eps_bar1, log_eps_bar
+                )
+
+                # Welford over chains, sequential (gated by in_w)
+                def wf(i, s):
+                    n, m, m2 = s
+                    n1 = n + 1.0
+                    delta = q1[i] - m
+                    m1 = m + delta / n1
+                    return n1, m1, m2 + delta * (q1[i] - m1)
+
+                wn1, wmean1, wm21 = lax.fori_loop(
+                    0, q1.shape[0], wf, (wn, wmean, wm2)
+                )
+                wn = jnp.where(in_w > 0.5, wn1, wn)
+                wmean = jnp.where(in_w > 0.5, wmean1, wmean)
+                wm2 = jnp.where(in_w > 0.5, wm21, wm2)
+
+                # window end: mass update + Welford reset + DA restart
+                var = jnp.where(
+                    wn >= 2.0, wm2 / jnp.maximum(wn - 1.0, 1.0),
+                    jnp.ones_like(wm2),
+                )
+                mass_new = jnp.clip(var, jitter, None)
+                enow = jnp.exp(log_eps)
+                enow = jnp.where(
+                    jnp.isfinite(enow) & (enow > 0.0),
+                    jnp.clip(enow, eps_min, eps_max), eps_min,
+                )
+                mass = jnp.where(wend > 0.5, mass_new, mass)
+                mu = jnp.where(
+                    wend > 0.5,
+                    jnp.log(jnp.maximum(eps_min, muf_da * enow)), mu,
+                )
+                log_eps = jnp.where(wend > 0.5, jnp.log(enow), log_eps)
+                log_eps_bar = jnp.where(
+                    wend > 0.5, jnp.log(enow), log_eps_bar
+                )
+                h_bar = jnp.where(wend > 0.5, 0.0, h_bar)
+                tda = jnp.where(wend > 0.5, 0.0, tda)
+                wn = jnp.where(wend > 0.5, 0.0, wn)
+                wmean = jnp.where(
+                    wend > 0.5, jnp.zeros_like(wmean), wmean
+                )
+                wm2 = jnp.where(wend > 0.5, jnp.zeros_like(wm2), wm2)
+
+                carry = (q1, mu, log_eps, log_eps_bar, h_bar, tda,
+                         wn, wmean, wm2, mass)
+                return carry, (q1, a, nlf, depth, div, lp, eps)
+
+            return lax.scan(body, carry0, (keys, flags))
+
+        master_key, sub = jax.random.split(master_key)
+        keys = jax.random.split(sub, T * chains).reshape(T, chains, 2)
+        carry0 = (
+            q, jnp.asarray(da.mu), jnp.asarray(da.log_eps),
+            jnp.asarray(da.log_eps_bar), jnp.asarray(da.h_bar),
+            jnp.asarray(float(da.t)), jnp.asarray(0.0),
+            jnp.zeros(dim), jnp.zeros(dim), jnp.asarray(mass_diag),
+        )
+        carry, (qs_f, a_f, nlf_f, depth_f, div_f, lp_f, eps_f) = _fused(
+            jnp.asarray(keys), jnp.asarray(flags), carry0,
+            jnp.asarray(delta_max),
+        )
+        q = carry[0]
+        da.mu = float(carry[1])
+        da.log_eps = float(carry[2])
+        da.log_eps_bar = float(carry[3])
+        da.h_bar = float(carry[4])
+        da.t = int(carry[5])
+        mass_diag = np.asarray(carry[9])
+        inv_mass_diag = 1.0 / mass_diag
+        step_size = _clamp(math.exp(da.log_eps))
+
+        a_np, div_np = np.asarray(a_f), np.asarray(div_f)
+        depth_np, nlf_np = np.asarray(depth_f), np.asarray(nlf_f)
+        lp_np, eps_np = np.asarray(lp_f), np.asarray(eps_f)
+        warmup_accept[:] = a_np[:num_warmup]
+        warmup_div[:] = div_np[:num_warmup]
+        warmup_depth[:] = depth_np[:num_warmup]
+        warmup_nlf[:] = nlf_np[:num_warmup]
+        warmup_log_target[:] = lp_np[:num_warmup]
+        warmup_eps[:] = eps_np[:num_warmup]
+        samples = np.asarray(qs_f)[num_warmup:]
+        accept = a_np[num_warmup:]
+        divergent = div_np[num_warmup:]
+        tree_depth = depth_np[num_warmup:].astype(int)
+        n_leapfrog = nlf_np[num_warmup:].astype(int)
+        log_target = lp_np[num_warmup:]
+
     use_scan_warmup = opts.scan_warmup
     if use_scan_warmup is None:
         use_scan_warmup = num_warmup >= int(opts.scan_warmup_threshold)
+    use_scan_warmup = use_scan_warmup and not use_fused
 
     if use_scan_warmup:
         # in-graph exact mirrors of DualAveragingState.update and the
@@ -830,7 +1005,7 @@ def nuts_sample(log_prob, q_init, num_samples,
                 f"mean_accept="
                 f"{float(np.mean(warmup_accept[seg_a:seg_b])):.3f}"
             )
-    num_warmup_loop = 0 if use_scan_warmup else num_warmup
+    num_warmup_loop = 0 if (use_scan_warmup or use_fused) else num_warmup
 
     for t in range(num_warmup_loop):
         master_key, sub = jax.random.split(master_key)
@@ -899,19 +1074,22 @@ def nuts_sample(log_prob, q_init, num_samples,
     logger.log(f"warmup: step_size_final={step_size_final:.6g}")
     logger.log(f"warmup: mass_diag_final mean={float(np.mean(mass_diag)):.6g}")
 
-    samples = np.empty((num_samples, chains, dim))
-    accept = np.empty((num_samples, chains))
-    divergent = np.empty((num_samples, chains), dtype=bool)
-    tree_depth = np.empty((num_samples, chains), dtype=int)
-    n_leapfrog = np.empty((num_samples, chains), dtype=int)
-    log_target = np.empty((num_samples, chains))
+    if not use_fused:
+        samples = np.empty((num_samples, chains, dim))
+        accept = np.empty((num_samples, chains))
+        divergent = np.empty((num_samples, chains), dtype=bool)
+        tree_depth = np.empty((num_samples, chains), dtype=int)
+        n_leapfrog = np.empty((num_samples, chains), dtype=int)
+        log_target = np.empty((num_samples, chains))
 
     logger.log("sample: start")
     t_samp0 = time.time()
     use_scan = opts.scan_sampling
     if use_scan is None:
         use_scan = num_samples >= int(opts.scan_sampling_threshold)
-    if opts.checkpoint_path is not None:
+    if use_fused:
+        pass  # samples already produced by the fused scan above
+    elif opts.checkpoint_path is not None:
         # chunked scans over per-step keys pre-split exactly like the
         # single-scan path -> bitwise-identical traces, snapshot after
         # every chunk; resume with nuts_resume()
