@@ -146,16 +146,30 @@ def _mp_core(K, B, mesh, axis_name, block, n_refine):
     H = _row_shard(H, mesh, axis_name)
     H2 = _row_shard(_f32mm(H, H), mesh, axis_name)
 
-    base = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L32).astype(jnp.float64)))
-    c1 = jnp.sum(jnp.diagonal(H).astype(jnp.float64))
     c2 = _trace_dot(H, H.T)
-    c3 = _trace_dot(H2, H.T)
-    c4 = _trace_dot(H2, H2.T)
 
-    def _series(_):
-        return base + c1 - c2 / 2.0 + c3 / 3.0 - c4 / 4.0
+    # TOOLCHAIN CONSTRAINT: the branches must receive ONLY f32 arrays.
+    # float64 cond operands (the emulation pass splits each into an
+    # (hi, lo) pair) crash this TPU compiler's HloReplicationAnalysis
+    # with a shape_util CHECK ("Invalid index {0} for shape f32[n,n]")
+    # once the conditional carries more than two of them.  The f64
+    # scalars (base, c1..c4) are therefore recomputed INSIDE each
+    # branch from the f32 operands -- O(n) diagonal reductions and
+    # elementwise trace contractions, trivially cheap.  f64 branch
+    # OUTPUTS are fine.
 
-    def _robust(_):
+    def _series(ops):
+        L32_, H_, H2_ = ops
+        base = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L32_).astype(jnp.float64))
+        )
+        c1 = jnp.sum(jnp.diagonal(H_).astype(jnp.float64))
+        c2_ = _trace_dot(H_, H_.T)
+        c3 = _trace_dot(H2_, H_.T)
+        c4 = _trace_dot(H2_, H2_.T)
+        return base + c1 - c2_ / 2.0 + c3 / 3.0 - c4 / 4.0
+
+    def _robust(ops):
         # Ill-conditioned K: the series in H diverges.  Second-level
         # identity exactly as the dense engine (ops/mixed.py
         # _level2_logdet): factor E = I + H with the PLAIN XLA f32
@@ -164,8 +178,12 @@ def _mp_core(K, B, mesh, axis_name, block, n_refine):
         # inner defect G = M_F E M_F^T - I hides under the identity, so
         # the sandwich must run in f64 (f32 would bury G under its own
         # rounding): two extra f64 (n, n) matmuls, on this branch only.
-        F32, MF32 = _plain_f32_tri_pair(jnp.eye(n, dtype=jnp.float32) + H)
-        E64 = jnp.eye(n, dtype=jnp.float64) + H.astype(jnp.float64)
+        L32_, H_, _H2 = ops
+        base = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L32_).astype(jnp.float64))
+        )
+        F32, MF32 = _plain_f32_tri_pair(jnp.eye(n, dtype=jnp.float32) + H_)
+        E64 = jnp.eye(n, dtype=jnp.float64) + H_.astype(jnp.float64)
         MF64 = MF32.astype(jnp.float64)
         G = MF64 @ (E64 @ MF64.T) - jnp.eye(n, dtype=jnp.float64)
         g1 = jnp.trace(G)
@@ -176,7 +194,7 @@ def _mp_core(K, B, mesh, axis_name, block, n_refine):
         return jnp.where(g2 < _LEVEL2_TAU, ld2, jnp.nan)
 
     # NaN c2 (failed f32 factorization) compares False -> robust -> NaN
-    ld = jax.lax.cond(c2 < _SERIES_TAU, _series, _robust, None)
+    ld = jax.lax.cond(c2 < _SERIES_TAU, _series, _robust, (L32, H, H2))
 
     X = _refined_solve(K, B, M32, n_refine)
     return X, ld, (K, M32, H, H2, X)
@@ -208,22 +226,27 @@ def _mp_sal_bwd(mesh, axis_name, block, n_refine, res, cot):
     S = _refined_solve(K, Xb, M32, n_refine)
 
     c2 = jnp.sum(H.astype(jnp.float64) * H.T.astype(jnp.float64))
+    n = K.shape[0]
 
-    def _series_inv(_):
+    # f32-only cond operands (see _mp_core: f64 operands crash this TPU
+    # compiler); the predicate is computed outside and crosses as bool
+    def _series_inv(ops):
         # Kinv ~= M^T (I - H + H^2 - H^3) M, error O(|H|^4)
-        H3 = _f32mm(H, H2)
-        Z = H - H2 + H3
-        return _f32mm(M32.T, M32) - _f32mm(M32.T, _f32mm(Z, M32))
+        M32_, H_, H2_ = ops
+        H3 = _f32mm(H_, H2_)
+        Z = H_ - H2_ + H3
+        return _f32mm(M32_.T, M32_) - _f32mm(M32_.T, _f32mm(Z, M32_))
 
-    def _robust_inv(_):
+    def _robust_inv(ops):
         # second-level preconditioner: Kinv ~= (M_F M)^T (M_F M) with
         # relative error |G| ~ eps32 -- ample for gradient use
-        n = K.shape[0]
-        _F, MF32 = _plain_f32_tri_pair(jnp.eye(n, dtype=jnp.float32) + H)
-        W = _f32mm(MF32, M32)
+        M32_, H_, _H2 = ops
+        _F, MF32 = _plain_f32_tri_pair(jnp.eye(n, dtype=jnp.float32) + H_)
+        W = _f32mm(MF32, M32_)
         return _f32mm(W.T, W)
 
-    Kinv32 = jax.lax.cond(c2 < _SERIES_TAU, _series_inv, _robust_inv, None)
+    Kinv32 = jax.lax.cond(c2 < _SERIES_TAU, _series_inv, _robust_inv,
+                          (M32, H, H2))
     Kinv = _row_shard(Kinv32.astype(jnp.float64), mesh, axis_name)
 
     Kbar = ldbar * Kinv - S @ Xm.T
