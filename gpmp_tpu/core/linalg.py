@@ -46,9 +46,33 @@ def chol_engine(n=None):
     return eng
 
 
+def _engine_for(K, *arrays):
+    """chol_engine(n), demoted to 'f64' under forward-mode autodiff.
+
+    The mixed engine's custom-VJP entry points reject jax.jacfwd /
+    jax.hessian traces; rather than raising, hot-path dispatchers use
+    the exact f64 factorization for those traces (logged once per
+    trace -- tracing is rare, execution is cached).
+    """
+    eng = chol_engine(K.shape[0])
+    if eng == "mixed":
+        from gpmp_tpu.ops.mixed import forward_mode_ad
+
+        if forward_mode_ad(K, *arrays):
+            from gpmp_tpu.config import get_logger
+
+            get_logger().warning(
+                "mixed Cholesky engine: forward-mode autodiff "
+                "(jacfwd/hessian) detected; using the exact f64 "
+                "engine for this trace."
+            )
+            return "f64"
+    return eng
+
+
 def solve_and_logdet(K, rhs):
     """(K^{-1} rhs, log det K) via the configured engine; NaN-propagating."""
-    if chol_engine(K.shape[0]) == "mixed":
+    if _engine_for(K, rhs) == "mixed":
         from gpmp_tpu.ops.mixed import mp_solve_and_logdet
 
         return mp_solve_and_logdet(K, rhs)
@@ -58,7 +82,7 @@ def solve_and_logdet(K, rhs):
 
 def engine_cholesky_solve(K, rhs):
     """K^{-1} rhs via the configured engine (no logdet)."""
-    if chol_engine(K.shape[0]) == "mixed":
+    if _engine_for(K, rhs) == "mixed":
         from gpmp_tpu.ops.mixed import refined_solve
 
         return refined_solve(K, rhs)
@@ -73,7 +97,7 @@ def engine_solve_and_inv_diag(K, rhs):
     on TPU); the mixed engine gets the diagonal from its series
     expansion at matmul cost (ops/mixed.py: mp_solve_and_inv_diag).
     """
-    if chol_engine(K.shape[0]) == "mixed":
+    if _engine_for(K, rhs) == "mixed":
         from gpmp_tpu.ops.mixed import mp_solve_and_inv_diag
 
         return mp_solve_and_inv_diag(K, rhs)
@@ -145,7 +169,7 @@ def norm_k_sqrd(model, xi, zi, covparam):
     K = model.covariance(xi, xi, covparam)
     P = model.mean(xi, model.meanparam)
 
-    if chol_engine(K.shape[0]) == "mixed":
+    if _engine_for(K, zi) == "mixed":
         rhs = jnp.concatenate([zi.reshape(-1, 1), P], axis=1)
         A = engine_cholesky_solve(K, rhs)
         a, U = A[:, 0], A[:, 1:]  # K^{-1}z, K^{-1}P

@@ -7,7 +7,7 @@ Reference semantics: /root/reference/gpmp/core/loo.py:21-162.
 import jax.numpy as jnp
 
 import gpmp_tpu.num as gnp
-from .linalg import chol_engine, engine_solve_and_inv_diag
+from .linalg import _engine_for, chol_engine, engine_solve_and_inv_diag
 
 
 def loo(model, xi, zi):
@@ -59,7 +59,7 @@ def _loo_with_linear_predictor_mean_cpd(model, meanparam, covparam, xi, zi):
     K = model.covariance(xi, xi, covparam)
     P = model.mean(xi, meanparam)
 
-    if chol_engine(K.shape[0]) == "mixed":
+    if _engine_for(K, zi) == "mixed":
         q = P.shape[1]
         rhs = jnp.concatenate([zi.reshape(-1, 1), P], axis=1)
         A, diagKinv = engine_solve_and_inv_diag(K, rhs)

@@ -48,6 +48,33 @@ from jax.scipy.linalg import solve_triangular
 
 from .cholesky import cholesky
 
+def forward_mode_ad(*arrays):
+    """True if any argument carries a forward-mode (JVP) tracer.
+
+    The engine's entry points are jax.custom_vjp functions, which
+    reject forward-mode autodiff (jax.jacfwd / jax.hessian).  The
+    engine dispatchers call this to fall back to the exact f64 path
+    for such traces instead of raising.  Reverse mode (grad,
+    value_and_grad, jacrev, including jacrev-of-jacrev) never creates
+    a JVPTracer and keeps the fast path.
+    """
+    import jax.core
+    from jax.interpreters.ad import JVPTracer
+
+    def walk(v, depth):
+        if depth > 8 or not isinstance(v, jax.core.Tracer):
+            return False
+        if isinstance(v, JVPTracer):
+            return True
+        for attr in ("primal", "tangent", "val"):
+            u = getattr(v, attr, None)
+            if u is not None and walk(u, depth + 1):
+                return True
+        return False
+
+    return any(walk(a, 0) for a in arrays)
+
+
 DEFAULT_REFINE_ITERS = 4
 _RIDGE_FACTOR = 10.0
 # relative-residual^2 acceptance for refined solves: rel < 1e-6
@@ -331,9 +358,12 @@ def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS,
     Differentiable via an analytic custom VJP (see _mp_sal_bwd); the
     VJP residuals hold four n x n f64 buffers, so for n beyond ~10k
     use the sharded criterion in gpmp_tpu.parallel instead.  Reverse
-    mode only: jax.hessian / jacfwd through this function raises (the
-    built-in Fisher paths use direct f64 Cholesky and are unaffected;
-    for second-order work set GPMP_CHOL_ENGINE=f64).
+    mode only: jax.hessian / jacfwd through this function raises.
+    The core.linalg engine dispatchers detect forward-mode traces
+    (forward_mode_ad above) and route them to the exact f64 path
+    instead, so library surfaces (NLL, LOO, Fisher) never hit the
+    raise; only direct callers of this function need
+    GPMP_CHOL_ENGINE=f64 for second-order work.
     """
     return _mp_solve_and_logdet(n_refine, use_pallas, interpret, K, B)
 

@@ -25,7 +25,7 @@ from jax import shard_map
 
 import gpmp_tpu.num as gnp
 from gpmp_tpu.core.likelihood import _nan_to_inf
-from gpmp_tpu.core.linalg import chol_engine
+from gpmp_tpu.core.linalg import _engine_for
 from .chol import sharded_solve_and_logdet
 from .mixed import sharded_mp_solve_and_logdet
 
@@ -33,7 +33,7 @@ from .mixed import sharded_mp_solve_and_logdet
 def _engine_solve_and_logdet(K, rhs, mesh, axis_name, block):
     """Dispatch to the mixed-precision sharded engine when configured
     (GPMP_CHOL_ENGINE=mixed), else the exact-f64 distributed Cholesky."""
-    if K.dtype == jnp.float64 and chol_engine(K.shape[0]) == "mixed":
+    if K.dtype == jnp.float64 and _engine_for(K, rhs) == "mixed":
         return sharded_mp_solve_and_logdet(
             K, rhs, mesh, axis_name=axis_name, block=block
         )

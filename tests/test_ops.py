@@ -233,3 +233,56 @@ def test_mp_engine_under_vmap():
         else:
             os.environ["GPMP_CHOL_ENGINE"] = prev
     np.testing.assert_allclose(np.asarray(V), V_serial, rtol=1e-12)
+
+
+def test_mixed_engine_forward_mode_fallback():
+    """jax.hessian / jacfwd through the engine dispatchers must not
+    raise under GPMP_CHOL_ENGINE=mixed: forward-mode traces are demoted
+    to the exact f64 path (core/linalg._engine_for), so the Hessian
+    matches the f64 engine exactly while reverse mode keeps the fast
+    custom-VJP path."""
+    import os
+
+    from gpmp_tpu.core.linalg import solve_and_logdet
+
+    n = 224  # above the mixed-engine size gate (192)
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(n, n))
+    K0 = jnp.asarray(A @ A.T / n + np.eye(n))
+    b = jnp.asarray(rng.normal(size=n))
+
+    def crit(theta):
+        K = jnp.exp(theta[0]) * K0 + jnp.exp(theta[1]) * jnp.eye(n)
+        x, ld = solve_and_logdet(K, b)
+        return 0.5 * (ld + b @ x)
+
+    t0 = jnp.asarray([0.1, -2.0])
+
+    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    try:
+        os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        H_mixed = jax.hessian(crit)(t0)          # would raise before
+        Jfwd = jax.jacfwd(jax.grad(crit))(t0)    # fwd-over-rev
+        g_mixed = jax.grad(crit)(t0)             # fast path
+    finally:
+        if prev is None:
+            os.environ.pop("GPMP_CHOL_ENGINE", None)
+        else:
+            os.environ["GPMP_CHOL_ENGINE"] = prev
+
+    os.environ["GPMP_CHOL_ENGINE"] = "f64"
+    try:
+        H_f64 = jax.hessian(crit)(t0)
+        g_f64 = jax.grad(crit)(t0)
+    finally:
+        if prev is None:
+            os.environ.pop("GPMP_CHOL_ENGINE", None)
+        else:
+            os.environ["GPMP_CHOL_ENGINE"] = prev
+
+    np.testing.assert_allclose(np.asarray(H_mixed), np.asarray(H_f64),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Jfwd), np.asarray(H_f64),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_mixed), np.asarray(g_f64),
+                               rtol=1e-8, atol=1e-10)
