@@ -9,6 +9,7 @@ program.  History recording, local bounds, and best-seen-fallback follow
 the reference driver (parameter_selection.py:128-276).
 """
 
+import functools
 import time
 
 import numpy as np
@@ -34,6 +35,104 @@ from .priors import (
     neg_log_restricted_posterior_power_laws_prior,
 )
 from .utils import check_xi_zi_or_loader
+
+
+# ----------------- criterion program cache (repeat fits) --------------
+_UNKEYABLE = object()
+
+
+def _key_token(v):
+    """Hashable, value-faithful token for a bound criterion argument."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (tuple, list)):
+        toks = tuple(_key_token(u) for u in v)
+        return _UNKEYABLE if _UNKEYABLE in toks else ("seq", toks)
+    try:
+        arr = np.asarray(v)
+    except Exception:
+        return _UNKEYABLE
+    if arr.dtype == object:
+        return _UNKEYABLE
+    return ("arr", arr.shape, str(arr.dtype), arr.tobytes())
+
+
+def _criterion_identity(fn):
+    """Stable identity token for a criterion callable, or None.
+
+    Recognized: state-free functions defined in gpmp_tpu modules (no
+    closure cells), ``functools.partial`` of such functions with
+    tokenizable bound values, and callables explicitly opting in with
+    ``_gpmp_program_cache = True``.  Anything else -- user lambdas and
+    per-fit closures -- returns None, which disables program caching
+    for that fit (each fresh closure would never be seen again, and a
+    closure can capture state the key cannot see).  The token holds a
+    strong reference to the function object, so its identity is never
+    recycled by the allocator.
+    """
+    if isinstance(fn, functools.partial):
+        base = _criterion_identity(fn.func)
+        if base is None:
+            return None
+        args = tuple(_key_token(a) for a in fn.args)
+        kws = tuple((k, _key_token(v)) for k, v in sorted(fn.keywords.items()))
+        if _UNKEYABLE in args or any(v is _UNKEYABLE for _, v in kws):
+            return None
+        return ("partial", base, args, kws)
+    module = getattr(fn, "__module__", "") or ""
+    if not (getattr(fn, "_gpmp_program_cache", False)
+            or module.startswith("gpmp_tpu")):
+        return None
+    if getattr(fn, "__closure__", None):
+        return None
+    return fn
+
+
+def _criterion_program_key(model, selection_criterion, parameterized_mean,
+                           meanparam_len, xi_j, zi_j):
+    """Cache key for this fit's jitted criterion programs, or None.
+
+    jax.jit's executable cache is keyed on function identity, and every
+    fit builds fresh closures, so without this repeat fits retrace and
+    re-hit the persistent compilation cache (seconds) instead of
+    reusing the in-memory executable (instant).  The key pins
+    everything the traced program reads besides its arguments: the
+    criterion identity and bound hyperparameters, the model's
+    covariance/mean callables and meantype, the meanparam baked into
+    linear-predictor criteria, the prior-defaults registry (REMAP
+    criteria consult it at trace time), data shapes/dtypes, and the
+    resolved Cholesky engine (a trace-time env read -- flipping
+    GPMP_CHOL_ENGINE must retrace, cf. the Model method cache).
+    """
+    ident = _criterion_identity(selection_criterion)
+    if ident is None:
+        return None
+    from gpmp_tpu.core.model import Model as _Model
+
+    if type(model) is not _Model:
+        return None
+    mp_tok = _key_token(getattr(model, "meanparam", None))
+    if mp_tok is _UNKEYABLE:
+        return None
+    from gpmp_tpu.core.linalg import chol_engine
+    from .prior_defaults import get_default_prior_hyperparameters
+
+    defaults_tok = tuple(sorted(get_default_prior_hyperparameters().items()))
+    return (
+        ident,
+        model.covariance,
+        model.mean,
+        getattr(model, "meantype", None),
+        bool(parameterized_mean),
+        int(meanparam_len),
+        tuple(xi_j.shape),
+        str(xi_j.dtype),
+        tuple(zi_j.shape),
+        str(zi_j.dtype),
+        chol_engine(int(xi_j.shape[0])),
+        mp_tok,
+        defaults_tok,
+    )
 
 
 # ---------------------- criterion + gradient maker --------------------
@@ -70,8 +169,13 @@ def make_selection_criterion_with_gradient(
             return selection_criterion(model, covparam, xi_, zi_)
 
     if data_source == "arrays":
+        xi_j, zi_j = gnp.asarray(xi), gnp.asarray(zi)
+        program_key = _criterion_program_key(
+            model, selection_criterion, parameterized_mean, meanparam_len,
+            xi_j, zi_j,
+        )
         crit = gnp.DifferentiableSelectionCriterion(
-            crit_, gnp.asarray(xi), gnp.asarray(zi)
+            crit_, xi_j, zi_j, program_key=program_key
         )
     else:
         crit = gnp.BatchDifferentiableSelectionCriterion(
@@ -604,6 +708,15 @@ def update_parameters_with_ml_constant_mean(
 
 
 # --------------------------------- REML ---------------------------------
+def _reml_criterion(m, covparam, x, z):
+    """REML criterion routed through the model METHOD so a
+    ShardedModelView (mesh mode) can intercept with the sharded
+    implementation; identical to the module function on a plain Model.
+    Module-level (not a per-fit closure) so repeat fits share the
+    jitted program (_criterion_program_key)."""
+    return m.negative_log_restricted_likelihood(covparam, x, z)
+
+
 def select_parameters_with_reml(
     model, xi=None, zi=None, dataloader=None, covparam0=None, info=False,
     verbosity=0, *,
@@ -622,11 +735,6 @@ def select_parameters_with_reml(
     deterministic subsample of ``init_subsample`` points (the dense
     heuristic would materialize the full gram).
     """
-    # route through the METHOD so a ShardedModelView (mesh mode) can
-    # intercept; identical to the module function on a plain Model
-    def _reml_criterion(m, covparam, x, z):
-        return m.negative_log_restricted_likelihood(covparam, x, z)
-
     return select_parameters_with_criterion(
         model,
         _reml_criterion,
@@ -653,9 +761,6 @@ def update_parameters_with_reml(
     method="SLSQP", method_options=None,
     mesh=None, shard_block=None,
 ):
-    def _reml_criterion(m, covparam, x, z):
-        return m.negative_log_restricted_likelihood(covparam, x, z)
-
     return update_parameters_with_criterion(
         model,
         _reml_criterion,
@@ -778,16 +883,14 @@ def select_parameters_with_remap_gaussian_logsigma2(
     )
     prior_log_sigma2_0 = covparam0_prior[0]
 
-    def criterion(m, covparam, x, z):
-        return neg_log_restricted_posterior_logsigma2_prior(
-            m,
-            covparam,
-            x,
-            z,
-            log_sigma2_0=prior_log_sigma2_0,
-            gamma=prior_gamma,
-            sigma2_coverage=prior_sigma2_coverage,
-        )
+    # functools.partial (not a closure) so _criterion_program_key can see
+    # the bound hyperparameter values and repeat fits share the program
+    criterion = functools.partial(
+        neg_log_restricted_posterior_logsigma2_prior,
+        log_sigma2_0=prior_log_sigma2_0,
+        gamma=prior_gamma,
+        sigma2_coverage=prior_sigma2_coverage,
+    )
 
     return select_parameters_with_criterion(
         model,
@@ -894,19 +997,17 @@ def select_parameters_with_remap_gaussian_logsigma2_and_logrho_prior(
         prior_logrho_min=prior_logrho_min,
     )
 
-    def criterion(m, covparam, x, z):
-        return neg_log_restricted_posterior_logsigma2_and_logrho_prior(
-            m,
-            covparam,
-            x,
-            z,
-            log_sigma2_0=prior_log_sigma2_0,
-            gamma=prior_gamma,
-            sigma2_coverage=prior_sigma2_coverage,
-            logrho_min=prior_logrho_min,
-            logrho_0=prior_logrho_0,
-            alpha=prior_alpha,
-        )
+    # functools.partial (not a closure) so _criterion_program_key can see
+    # the bound hyperparameter values and repeat fits share the program
+    criterion = functools.partial(
+        neg_log_restricted_posterior_logsigma2_and_logrho_prior,
+        log_sigma2_0=prior_log_sigma2_0,
+        gamma=prior_gamma,
+        sigma2_coverage=prior_sigma2_coverage,
+        logrho_min=prior_logrho_min,
+        logrho_0=prior_logrho_0,
+        alpha=prior_alpha,
+    )
 
     return select_parameters_with_criterion(
         model,

@@ -629,6 +629,39 @@ def _finite_or_inf(value):
     return jnp.where(jnp.isfinite(value), value, jnp.inf)
 
 
+def _criterion_programs(crit, program_key):
+    """(value_and_grad, value) jitted programs for a criterion closure.
+
+    ``jax.jit``'s in-memory executable cache is keyed on function
+    identity, and every parameter-selection call builds fresh closures,
+    so repeat fits in one process normally retrace and re-hit the
+    persistent compilation cache.  When ``program_key`` is not None the
+    jit objects themselves are cached process-wide (config caches):
+    a later fit whose criterion is semantically identical -- same
+    underlying criterion function and bound hyperparameters, same model
+    callables, same baked meanparam, same shapes/dtypes and Cholesky
+    engine (see kernel/parameter_selection._criterion_program_key) --
+    reuses the already-compiled executables with zero retrace.  The key
+    tuple holds strong references to the keyed functions, so identity
+    can never be recycled.  ``gpmp_tpu.config.clear_caches()`` empties
+    the cache.
+    """
+    if program_key is not None:
+        cache = _config.caches.setdefault("criterion_programs", {})
+        entry = cache.get(program_key)
+        if entry is not None:
+            return entry
+    entry = (
+        jax.jit(jax.value_and_grad(lambda p, xx, zz: crit(p, xx, zz))),
+        jax.jit(lambda p, xx, zz: crit(p, xx, zz)),
+    )
+    if program_key is not None:
+        cache[program_key] = entry
+        while len(cache) > 32:  # FIFO cap: executables + keyed fn refs
+            cache.pop(next(iter(cache)))
+    return entry
+
+
 class DifferentiableSelectionCriterion:
     """Criterion wrapper exposing the 4-callable optimizer protocol.
 
@@ -639,11 +672,10 @@ class DifferentiableSelectionCriterion:
     Non-finite values (failed Cholesky -> NaN) map to +inf with zero grad.
     """
 
-    def __init__(self, crit: CriterionCallable, x, z):
+    def __init__(self, crit: CriterionCallable, x, z, program_key=None):
         self.crit = crit
         self.x, self.z = asarray(x), asarray(z)
-        self._vg = jax.jit(jax.value_and_grad(lambda p, xx, zz: crit(p, xx, zz)))
-        self._v = jax.jit(lambda p, xx, zz: crit(p, xx, zz))
+        self._vg, self._v = _criterion_programs(crit, program_key)
         self._cache_p = None
         self._cache_g = None
 

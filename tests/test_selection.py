@@ -160,3 +160,66 @@ def test_autoselect_lbfgs_device_matches_scipy():
     )
     assert abs(r_dev.fun - r_sci.fun) < 1e-2 * max(1.0, abs(r_sci.fun))
     assert r_dev.best_value_returned
+
+
+def test_criterion_program_cache_reuse_and_invalidation():
+    """Repeat fits with identical criterion semantics reuse the jitted
+    programs (no retrace); changing the prior defaults, the data shape,
+    or the model callables produces a distinct cache entry; per-fit user
+    closures disable caching entirely."""
+    from gpmp_tpu.config import get_config
+    from gpmp_tpu.kernel.parameter_selection import _criterion_program_key
+
+    xt, zt, xi, zi = _example02_data()
+    caches = get_config().caches
+    caches.pop("criterion_programs", None)
+
+    m1 = gp.Model(constant_mean, kernel)
+    m1, i1 = gp.kernel.select_parameters_with_reml(m1, xi, zi, info=True)
+    assert len(caches["criterion_programs"]) == 1
+    m2 = gp.Model(constant_mean, kernel)
+    m2, i2 = gp.kernel.select_parameters_with_reml(m2, xi, zi, info=True)
+    assert len(caches["criterion_programs"]) == 1  # reused
+    np.testing.assert_allclose(
+        np.asarray(i1["covparam"]), np.asarray(i2["covparam"]), rtol=1e-12
+    )
+
+    # same shapes, REMAP: partial identity keys on bound prior values
+    m3 = gp.Model(constant_mean, kernel)
+    gp.kernel.select_parameters_with_remap(m3, xi, zi)
+    n3 = len(caches["criterion_programs"])
+    assert n3 == 2
+    gp.kernel.select_parameters_with_remap(gp.Model(constant_mean, kernel), xi, zi)
+    assert len(caches["criterion_programs"]) == n3  # reused
+
+    # mutating the process-wide prior defaults must not hit a stale program
+    from gpmp_tpu.kernel.prior_defaults import (
+        get_default_prior_hyperparameters,
+        set_default_prior_hyperparameters,
+    )
+
+    old = get_default_prior_hyperparameters()
+    try:
+        set_default_prior_hyperparameters(alpha=old["alpha"] + 1.0)
+        gp.kernel.select_parameters_with_remap(
+            gp.Model(constant_mean, kernel), xi, zi
+        )
+        assert len(caches["criterion_programs"]) == n3 + 1
+    finally:
+        set_default_prior_hyperparameters(alpha=old["alpha"])
+
+    # a per-fit user closure yields no key (caching disabled, still works)
+    captured = 2.0
+
+    def user_criterion(m, covparam, x, z):
+        return captured * m.negative_log_restricted_likelihood(covparam, x, z)
+
+    key = _criterion_program_key(
+        m1, user_criterion, False, 1, gnp.asarray(xi), gnp.asarray(zi)
+    )
+    assert key is None
+    n_before = len(caches["criterion_programs"])
+    gp.kernel.select_parameters_with_criterion(
+        gp.Model(constant_mean, kernel), user_criterion, xi=xi, zi=zi
+    )
+    assert len(caches["criterion_programs"]) == n_before
