@@ -87,13 +87,17 @@ def sharded_covariance(model, covparam, xi, mesh, axis_name="shard"):
         # cross-covariance with the measured self-branch diagonal
         xc = xi + jnp.zeros_like(xi)          # defeat the `y is x` branch
         Kl = model.covariance(xi, xc, covparam)
-        return Kl + jnp.diag(corr)
+        return Kl + jnp.diag(corr.astype(Kl.dtype))
 
     def per_shard(x_loc, x_full, corr_loc, covparam):
         Kl = model.covariance(x_loc, x_full, covparam)
         off = lax.axis_index(axis_name) * n_loc
         grow = off + jnp.arange(n_loc, dtype=jnp.int32)[:, None]
         col = jnp.arange(n, dtype=jnp.int32)[None, :]
+        # corr follows the cross-branch dtype: the diag correction may run
+        # in f64 (kernels build f64 eye/ones on the self branch) even when
+        # the gram is being recomputed in f32 for the backward pass
+        corr_loc = corr_loc.astype(Kl.dtype)
         return Kl + jnp.where(col == grow, corr_loc[:, None], 0.0)
 
     f = shard_map(
@@ -112,22 +116,96 @@ def sharded_covariance(model, covparam, xi, mesh, axis_name="shard"):
     )
 
 
+def _gram_f32_backward_active(covparam, xi, zi):
+    """True when the mixed solve engine will run AND reverse mode applies.
+
+    Mirrors the _engine_for dispatch: the f32 gram backward only pays off
+    when the solve engine's own backward is the f32 analytic VJP (the
+    cotangent Kbar then carries eps32-level noise anyway); under
+    forward-mode autodiff the custom_vjp wrapper cannot be used at all,
+    so the rematerialized f64 path is kept."""
+    if xi.dtype != jnp.float64:
+        return False
+    from gpmp_tpu.core.linalg import chol_engine
+    from gpmp_tpu.ops.mixed import forward_mode_ad
+
+    return chol_engine(xi.shape[0]) == "mixed" and not forward_mode_ad(
+        covparam, xi, zi
+    )
+
+
+def _cov_with_f32_backward(model, xi, mesh, axis_name):
+    """p -> row-sharded K (f64 forward) whose BACKWARD reruns the kernel
+    chain in float32.
+
+    The mixed engine's solve VJP produces Kbar from the f32 Kinv series
+    (parallel/mixed.py), so Kbar's entries already carry eps32-level
+    random noise; pulling it back through an emulated-f64 Matern chain
+    is pure overhead (measured ~290 ms of a 400 ms n=4096 value+grad on
+    v5e).  The f32 recompute keeps <Kbar, dK/dtheta> accurate to the
+    same eps32-washout level the engine is specified at.
+
+    Kernels that are not dtype-polymorphic (f64 constants on the cross
+    branch promote the f32 recompute back to f64) are detected by
+    abstract evaluation and fall back to the exact f64 remat backward.
+    """
+    xi32 = xi.astype(jnp.float32)
+
+    def cov64(p):
+        return sharded_covariance(model, p, xi, mesh, axis_name=axis_name)
+
+    def cov32(p32):
+        return sharded_covariance(model, p32, xi32, mesh,
+                                  axis_name=axis_name)
+
+    @jax.custom_vjp
+    def cov(p):
+        return cov64(p)
+
+    def fwd(p):
+        return cov64(p), p
+
+    def bwd(p, Kbar):
+        p32 = p.astype(jnp.float32)
+        try:
+            poly = jax.eval_shape(cov32, p32).dtype == jnp.float32
+        except Exception:
+            poly = False
+        if poly:
+            _K32, vjp32 = jax.vjp(cov32, p32)
+            (pbar,) = vjp32(Kbar.astype(jnp.float32))
+            return (pbar.astype(p.dtype),)
+        _K, vjp64 = jax.vjp(cov64, p)
+        (pbar,) = vjp64(Kbar)
+        return (pbar,)
+
+    cov.defvjp(fwd, bwd)
+    return cov
+
+
+def _make_cov(model, covparam, xi, zi, mesh, axis_name):
+    """Gram constructor for the sharded criteria: f32-backward wrapper on
+    the mixed-engine path, rematerialized f64 otherwise.
+
+    The remat (jax.checkpoint) matters on the f64 path: the Matern chain
+    otherwise saves O(10) n x n autodiff residuals, which at n=16384 f64
+    exceeds single-chip HBM (observed 52 GB).  The custom-VJP wrapper
+    stores only covparam, so it subsumes the remat."""
+    if _gram_f32_backward_active(covparam, xi, zi):
+        return _cov_with_f32_backward(model, xi, mesh, axis_name)
+    return jax.checkpoint(
+        lambda p: sharded_covariance(model, p, xi, mesh, axis_name=axis_name)
+    )
+
+
 def sharded_negative_log_restricted_likelihood(
     model, covparam, xi, zi, mesh, axis_name="shard", block=256
 ):
     """Profiled REML with the covariance sharded over the mesh.
 
     Identical value to core.likelihood.negative_log_restricted_likelihood
-    (impl='profiled'); differentiable end-to-end for value_and_grad.
-
-    The covariance construction is rematerialized (jax.checkpoint): the
-    Matern/exponential kernels otherwise save O(10) n x n autodiff
-    residuals, which at n=16384 f64 exceeds single-chip HBM (observed
-    52 GB); with remat the backward pass recomputes them from the O(n d)
-    points."""
-    cov = jax.checkpoint(
-        lambda p: sharded_covariance(model, p, xi, mesh, axis_name=axis_name)
-    )
+    (impl='profiled'); differentiable end-to-end for value_and_grad."""
+    cov = _make_cov(model, covparam, xi, zi, mesh, axis_name)
     K = cov(covparam)
     Pd = model.mean(xi, model.meanparam)
     n, q = Pd.shape
@@ -150,10 +228,9 @@ def sharded_negative_log_likelihood_zero_mean(
     model, covparam, xi, zi, mesh, axis_name="shard", block=256
 ):
     """Zero-mean NLL with the covariance sharded over the mesh
-    (rematerialized, see sharded_negative_log_restricted_likelihood)."""
-    cov = jax.checkpoint(
-        lambda p: sharded_covariance(model, p, xi, mesh, axis_name=axis_name)
-    )
+    (see sharded_negative_log_restricted_likelihood for the gram
+    backward strategy)."""
+    cov = _make_cov(model, covparam, xi, zi, mesh, axis_name)
     K = cov(covparam)
     n = K.shape[0]
     Kinv_z, ldetK = _engine_solve_and_logdet(K, zi, mesh, axis_name, block)

@@ -131,6 +131,30 @@ def _trace_dot(A, B_t):
     return jnp.sum(A.astype(jnp.float64) * B_t.astype(jnp.float64))
 
 
+def _factorization_residual(K, L64, block):
+    """R = K - L L^T with the contraction restricted to L's nonzero
+    columns per column-panel.
+
+    L is lower triangular, so R[:, c0:c1] needs only L[:, :c1] @
+    L[c0:c1, :c1]^T -- about n^3 emulated-f64 FLOPs total instead of the
+    2 n^3 of the dense product (the f64 matmul is the single most
+    expensive op of the forward pass).  Static Python loop: n/block
+    dots, block is the engine's panel width."""
+    n = K.shape[0]
+    if n % block or n // block <= 1:
+        return K - jnp.dot(L64, L64.T,
+                           precision=jax.lax.Precision.HIGHEST)
+    panels = []
+    for j in range(n // block):
+        c0, c1 = j * block, (j + 1) * block
+        panels.append(
+            K[:, c0:c1]
+            - jnp.dot(L64[:, :c1], L64[c0:c1, :c1].T,
+                      precision=jax.lax.Precision.HIGHEST)
+        )
+    return jnp.concatenate(panels, axis=1)
+
+
 def _mp_core(K, B, mesh, axis_name, block, n_refine):
     """Shared forward: returns (X, ld, residuals-for-vjp)."""
     n = K.shape[0]
@@ -138,7 +162,7 @@ def _mp_core(K, B, mesh, axis_name, block, n_refine):
 
     # the ONE f64 (n, n) matmul: factorization residual
     L64 = L32.astype(jnp.float64)
-    Rres = K - L64 @ L64.T
+    Rres = _factorization_residual(K, L64, block)
     Rres = _row_shard(Rres, mesh, axis_name)
 
     R32 = Rres.astype(jnp.float32)
