@@ -95,18 +95,31 @@ def _sharded_f32_preconditioner(K, mesh, axis_name, block):
     K32 = K.astype(jnp.float32)
     ridge = _RIDGE_FACTOR * jnp.finfo(jnp.float32).eps * (jnp.trace(K32) / n)
     K32 = K32 + ridge * jnp.eye(n, dtype=jnp.float32)
-    L32 = _sharded_cholesky_impl(
-        K32, mesh, axis_name=axis_name, block=block, panel_impl="direct"
-    )
+    if _single_device(mesh, axis_name):
+        # XLA's native f32 Cholesky beats the blocked fori-loop on one
+        # device (measured 24 vs 31 ms at n=4096 on v5e)
+        L32 = jnp.linalg.cholesky(K32)
+    else:
+        L32 = _sharded_cholesky_impl(
+            K32, mesh, axis_name=axis_name, block=block, panel_impl="direct"
+        )
     eye32 = _row_shard(jnp.eye(n, dtype=jnp.float32), mesh, axis_name)
     M32 = _blocked_solve_lower_impl(L32, eye32, block, mesh, axis_name)
     return L32, M32
 
 
 def _apply_precond(M32, R64):
-    """M^T (M r) in f64 matvec form -- (n, m) RHS, O(n^2 m) f64."""
-    M64 = M32.astype(R64.dtype)
-    return M64.T @ (M64 @ R64)
+    """M^T (M r) with the M applications in f32, result cast to f64.
+
+    The correction-solve of iterative refinement only needs the
+    preconditioner's own (f32) accuracy -- the f64 information lives in
+    the residual, which IS computed in f64 by the caller.  Running the
+    two matvecs in f32 avoids the emulated-f64 matvec path entirely
+    (measured ~8.6 ms per f64 (n, n) x (n, 2) apply at n=4096 on v5e,
+    vs noise for the f32 one)."""
+    r32 = R64.astype(jnp.float32)
+    c32 = _f32mm(M32.T, _f32mm(M32, r32))
+    return c32.astype(R64.dtype)
 
 
 def _refined_solve(K, B, M32, n_refine):
@@ -131,28 +144,42 @@ def _trace_dot(A, B_t):
     return jnp.sum(A.astype(jnp.float64) * B_t.astype(jnp.float64))
 
 
-def _factorization_residual(K, L64, block):
-    """R = K - L L^T with the contraction restricted to L's nonzero
-    columns per column-panel.
+def _factorization_residual_f32(K, L64, block):
+    """R = K - L L^T, computed in f64 (the cancellation K ~= L L^T makes
+    f64 mandatory) but RETURNED in f32 -- R's downstream consumers
+    (H = M R M^T and its traces) are f32 contractions, and R's entries
+    carry only ~eps32 * |K| of information to begin with.
 
-    L is lower triangular, so R[:, c0:c1] needs only L[:, :c1] @
-    L[c0:c1, :c1]^T -- about n^3 emulated-f64 FLOPs total instead of the
-    2 n^3 of the dense product (the f64 matmul is the single most
-    expensive op of the forward pass).  Static Python loop: n/block
-    dots, block is the engine's panel width."""
+    Cost control: R is symmetric and L is lower triangular, so only the
+    lower-triangular panels are computed -- panel j is
+    K[c0:, c0:c1] - L[c0:, :c1] @ L[c0:c1, :c1]^T, about n^3/3 emulated-
+    f64 FLOPs in total (vs 2 n^3 for the dense product, n^3 for the
+    column-restricted full-height version).  Each panel is cast to f32
+    immediately and the symmetric completion runs in cheap f32
+    elementwise ops.  Static Python loop: n/block dots."""
     n = K.shape[0]
     if n % block or n // block <= 1:
-        return K - jnp.dot(L64, L64.T,
-                           precision=jax.lax.Precision.HIGHEST)
+        return (
+            K - jnp.dot(L64, L64.T, precision=jax.lax.Precision.HIGHEST)
+        ).astype(jnp.float32)
     panels = []
     for j in range(n // block):
         c0, c1 = j * block, (j + 1) * block
-        panels.append(
-            K[:, c0:c1]
-            - jnp.dot(L64[:, :c1], L64[c0:c1, :c1].T,
+        p = (
+            K[c0:, c0:c1]
+            - jnp.dot(L64[c0:, :c1], L64[c0:c1, :c1].T,
                       precision=jax.lax.Precision.HIGHEST)
-        )
-    return jnp.concatenate(panels, axis=1)
+        ).astype(jnp.float32)
+        if c0:
+            p = jnp.concatenate(
+                [jnp.zeros((c0, block), dtype=jnp.float32), p], axis=0
+            )
+        panels.append(p)
+    Tlow = jnp.concatenate(panels, axis=1)
+    # computed entries are exact for row >= panel start; keep r >= c,
+    # mirror the strict lower triangle
+    Tlow = jnp.tril(Tlow)
+    return Tlow + jnp.tril(Tlow, -1).T
 
 
 def _mp_core(K, B, mesh, axis_name, block, n_refine):
@@ -162,10 +189,9 @@ def _mp_core(K, B, mesh, axis_name, block, n_refine):
 
     # the ONE f64 (n, n) matmul: factorization residual
     L64 = L32.astype(jnp.float64)
-    Rres = _factorization_residual(K, L64, block)
-    Rres = _row_shard(Rres, mesh, axis_name)
+    R32 = _factorization_residual_f32(K, L64, block)
+    R32 = _row_shard(R32, mesh, axis_name)
 
-    R32 = Rres.astype(jnp.float32)
     H = _f32mm(M32, _f32mm(R32, M32.T))       # H = M R M^T, f32
     H = _row_shard(H, mesh, axis_name)
     H2 = _row_shard(_f32mm(H, H), mesh, axis_name)
