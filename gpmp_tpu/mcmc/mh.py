@@ -111,6 +111,17 @@ class MHOptions:
     # (the per-block key streams are identical); not bitwise (device
     # covariance reductions vs numpy).  No reference counterpart.
     blocks_per_dispatch: int = 1
+    # run the WHOLE burn-in as one device program (a while_loop over
+    # adaptation blocks) with the early-stopping convergence checks
+    # (sliding acceptance band + Gelman-Rubin) evaluated in-graph after
+    # every block, so burn-in costs ONE host round-trip total.  Checks
+    # fire at block granularity (the host loop only checks every
+    # blocks_per_dispatch blocks, so the in-graph run can stop earlier;
+    # the trajectories up to the stopping point are identical to
+    # blocks_per_dispatch=1 modulo device-vs-numpy covariance roundoff).
+    # Ignored (host loop kept) when checkpointing is on, a custom
+    # prop_rnd is set, chains are mesh-sharded, or diag is disabled.
+    burnin_in_graph: bool = True
 
     def __post_init__(self):
         if self.proposal_distribution_param_init is None:
@@ -735,6 +746,226 @@ class MetropolisHastings:
         self.haario_scaling_factors = np.asarray(scalf)
         self._maybe_checkpoint()
 
+    # ------------------------------------------------------------------
+    # whole-burn-in device kernel (burnin_in_graph)
+    # ------------------------------------------------------------------
+    def _get_burnin_kernel(self, n_block_size, max_blocks, n_diag, method):
+        """One device program for the whole burn-in: while_loop over
+        adaptation blocks (Haario or RM math identical to the multiblock
+        kernels) with the run_burnin early-stopping rule evaluated
+        in-graph after every block.  Traces land in preallocated step-
+        major buffers; the loop exits at the first converged block."""
+        sig = (n_block_size, max_blocks, n_diag, method)
+        if getattr(self, "_burnin_kernel_sig", None) == sig:
+            return self._burnin_kernel
+
+        batched_lt = self._batched_target()
+        C, d = self.n_chains, self.dim
+        n_pool = self.options.n_pool
+        n_groups = C // n_pool
+        grp_idx = jnp.arange(C) // n_pool
+        eps_eye = 1e-6 * jnp.eye(d)
+        target = self.target_acceptance
+        m_samples = n_pool * n_block_size
+        block = n_block_size
+        T = max_blocks * block
+        W = min(max(1, int(self.options.sliding_rate_width)), n_diag)
+        amin = self.options.acceptance_min
+        amax = self.options.acceptance_max
+        thr2 = 1.1 ** 2
+        haario = method == "haario"
+
+        step_iota = jnp.arange(1 + T)
+
+        def kernel(x0, lt0, cov0, scal0, keys, h, gammas):
+            xs_buf = jnp.zeros((1 + T, C, d), x0.dtype).at[0].set(x0)
+            acc_buf = jnp.zeros((1 + T, C), x0.dtype).at[0].set(1.0)
+            lts_buf = jnp.zeros((1 + T, C), lt0.dtype).at[0].set(lt0)
+
+            def run_block(x, lt, cov, scal, b):
+                chols = jnp.linalg.cholesky(cov)
+
+                def step2(c2, key):
+                    xx, ll = c2
+                    k_prop, k_u = jax.random.split(key)
+                    eps = jax.random.normal(k_prop, xx.shape, dtype=xx.dtype)
+                    y = xx + jnp.einsum("cij,cj->ci", chols, eps)
+                    lt_y = batched_lt(y)
+                    u = jnp.maximum(
+                        jax.random.uniform(k_u, (xx.shape[0],),
+                                           dtype=xx.dtype), 1e-300
+                    )
+                    accept = jnp.log(u) < lt_y - ll
+                    x_new = jnp.where(accept[:, None], y, xx)
+                    lt_new = jnp.where(accept, lt_y, ll)
+                    return (x_new, lt_new), (x_new, accept, lt_new)
+
+                (xf, ltf), (xs, acc, lts) = lax.scan(step2, (x, lt), keys[b])
+                rates = jnp.mean(acc, axis=0)
+                if haario:
+                    Xg = xs.transpose(1, 0, 2).reshape(n_groups, m_samples, d)
+                    Xc = Xg - jnp.mean(Xg, axis=1, keepdims=True)
+                    emp = jnp.einsum("gnd,gne->gde", Xc, Xc) / (m_samples - 1)
+                    scal2 = scal * jnp.exp(h * (rates - target))
+                    cov2 = scal2[:, None, None] * emp[grp_idx] + eps_eye
+                else:
+                    scal2 = scal
+                    cov2 = cov * jnp.exp(
+                        gammas[b] * (rates - target)
+                    )[:, None, None]
+                return xf, ltf, cov2, scal2, xs, acc, lts
+
+            def converged_now(acc_buf, xs_buf, n_max):
+                # sliding acceptance rates over the conceptual history
+                # accept[:, :n_max] (includes the accept=1 initial entry,
+                # excludes the newest step -- compute_sliding_rates
+                # semantics), then min/max over the trailing n_diag
+                valid = (step_iota < n_max).astype(acc_buf.dtype)
+                cs = jnp.cumsum(acc_buf * valid[:, None], axis=0)
+                cs_shift = jnp.concatenate(
+                    [jnp.zeros((W, C), cs.dtype), cs[:-W]], axis=0
+                )
+                denom = jnp.minimum(step_iota + 1, W).astype(cs.dtype)
+                rate = (cs - cs_shift) / denom[:, None]
+                in_win = (step_iota >= n_max - n_diag) & (step_iota < n_max)
+                min_ar = jnp.min(jnp.where(in_win[:, None], rate, jnp.inf))
+                max_ar = jnp.max(jnp.where(in_win[:, None], rate, -jnp.inf))
+                acc_ok = (min_ar > amin) & (max_ar < amax)
+                if C < 2:
+                    return acc_ok
+                # Gelman-Rubin over x[:, n_max-n_diag : n_max]
+                m = in_win.astype(xs_buf.dtype)[:, None, None]
+                s1 = jnp.sum(xs_buf * m, axis=0)              # (C, d)
+                s2 = jnp.sum(xs_buf * xs_buf * m, axis=0)
+                mean_c = s1 / n_diag
+                var_c = (s2 - n_diag * mean_c**2) / (n_diag - 1)
+                W_stat = jnp.mean(var_c, axis=0)
+                gm = jnp.mean(mean_c, axis=0)
+                B = n_diag * jnp.sum((mean_c - gm) ** 2, axis=0) / (C - 1)
+                var_post = (n_diag - 1) / n_diag * W_stat + B / n_diag
+                rhat_ok = jnp.all(var_post < thr2 * W_stat)
+                return acc_ok & rhat_ok
+
+            def cond(carry):
+                b, conv = carry[4], carry[5]
+                return (b < max_blocks) & jnp.logical_not(conv)
+
+            def body(carry):
+                x, lt, cov, scal, b, _conv, xs_buf, acc_buf, lts_buf = carry
+                xf, ltf, cov2, scal2, xs, acc, lts = run_block(
+                    x, lt, cov, scal, b
+                )
+                i0 = 1 + b * block
+                xs_buf = lax.dynamic_update_slice(xs_buf, xs, (i0, 0, 0))
+                acc_buf = lax.dynamic_update_slice(
+                    acc_buf, acc.astype(acc_buf.dtype), (i0, 0)
+                )
+                lts_buf = lax.dynamic_update_slice(lts_buf, lts, (i0, 0))
+                n_max = (b + 1) * block
+                conv = jnp.where(
+                    n_max >= n_diag,
+                    converged_now(acc_buf, xs_buf, n_max),
+                    False,
+                )
+                return (xf, ltf, cov2, scal2, b + 1, conv,
+                        xs_buf, acc_buf, lts_buf)
+
+            init = (x0, lt0, cov0, scal0, jnp.int32(0), jnp.bool_(False),
+                    xs_buf, acc_buf, lts_buf)
+            (xf, ltf, covf, scalf, b, conv,
+             xs_buf, acc_buf, lts_buf) = lax.while_loop(cond, body, init)
+            return xf, ltf, covf, scalf, b, conv, xs_buf, acc_buf, lts_buf
+
+        self._burnin_kernel = jax.jit(kernel)
+        self._burnin_kernel_sig = sig
+        return self._burnin_kernel
+
+    def _run_burnin_in_graph(self, n_blocks, n_diag_samples, method):
+        """Whole-burn-in single dispatch.  Returns None when ineligible
+        or on a trace failure (caller keeps the host block loop), else
+        the converged_early flag."""
+        opts = self.options
+        block = opts.adaptation_interval
+        if (
+            not opts.burnin_in_graph
+            or n_blocks < 1
+            or opts.checkpoint_path is not None
+            or self.prop_rnd is not None
+            or self._chain_sharding is not None
+            or n_diag_samples < max(1, int(opts.sliding_rate_width))
+            or self.global_iter != 0
+        ):
+            return None
+
+        C, d = self.n_chains, self.dim
+        key_snapshot = self._key
+        key = key_snapshot
+        subs = []
+        gammas = []
+        base = opts.RM_adapt_factor
+        for k in range(n_blocks):
+            key, sub = jax.random.split(key)
+            subs.append(jax.random.split(sub, block))
+            it = (k + 1) * block
+            gammas.append(
+                self._diminishing_adaptation_schedule(
+                    it, self.burnin_period, base, final_frac=0.1
+                ) if opts.RM_diminishing else base
+            )
+        keys = jnp.stack(subs)
+        gammas_j = jnp.asarray(np.asarray(gammas))
+
+        x0 = jnp.asarray(self.x[:, 0, :])
+        try:
+            lt0 = self._vmapped_logtarget(x0)
+            cov0 = jnp.stack([self._get_cov_parameter(c) for c in range(C)])
+            scal0 = jnp.asarray(self.haario_scaling_factors)
+            kern = self._get_burnin_kernel(
+                block, n_blocks, n_diag_samples, method
+            )
+            (xf, ltf, covf, scalf, b, conv, xs_buf, acc_buf,
+             lts_buf) = kern(x0, lt0, cov0, scal0, keys,
+                             jnp.asarray(float(self.haario_adapt_factor)),
+                             gammas_j)
+            b = int(b)
+        except Exception as exc:
+            if isinstance(exc, (KeyboardInterrupt, MemoryError)):
+                raise
+            get_logger().warning(
+                "in-graph burn-in unavailable (%s: %s); falling back to "
+                "the host block loop.", type(exc).__name__, exc,
+            )
+            return None
+
+        n_tot = b * block
+        self.x[:, 1 : 1 + n_tot, :] = np.swapaxes(
+            np.asarray(xs_buf[1 : 1 + n_tot]), 0, 1
+        )
+        self.accept[:, 1 : 1 + n_tot] = np.swapaxes(
+            np.asarray(acc_buf[1 : 1 + n_tot]), 0, 1
+        )
+        self.log_target_values[:, 1 : 1 + n_tot] = np.swapaxes(
+            np.asarray(lts_buf[1 : 1 + n_tot]), 0, 1
+        )
+        self.global_iter = n_tot
+        # advance the RNG stream exactly as the host loop would have
+        key = key_snapshot
+        for _ in range(b):
+            key, _sub = jax.random.split(key)
+        self._key = key
+        self.proposal_distribution_params = [
+            np.asarray(covf[c]) for c in range(C)
+        ]
+        self.haario_scaling_factors = np.asarray(scalf)
+        converged_early = bool(conv)
+        if converged_early:
+            print(
+                f"\nEarly stopping: convergence detected during burn-in "
+                f"at iter = {self.global_iter}."
+            )
+            self.burnin_period = self.global_iter
+        return converged_early
+
     def _maybe_checkpoint(self):
         """Periodic checkpoint at adaptation-block boundaries (AFTER the
         proposal update, so a resumed run replays the exact state the
@@ -828,6 +1059,14 @@ class MetropolisHastings:
             raise ValueError("adaptation_method must be 'RM' or 'Haario'.")
         n_diag_samples = n_blocks_convergence_diag * self.options.adaptation_interval
         converged_early = False
+
+        if diag:
+            in_graph = self._run_burnin_in_graph(
+                n_blocks, n_diag_samples, method
+            )
+            if in_graph is not None:
+                converged_early = in_graph
+                n_blocks = 0
 
         K = max(1, int(self.options.blocks_per_dispatch))
 

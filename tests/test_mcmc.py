@@ -108,6 +108,50 @@ def test_mh_ks_statistics_shape():
     assert "ok" in res
 
 
+def test_mh_burnin_in_graph_matches_host_loop():
+    # the single-dispatch in-graph burn-in must follow the SAME key
+    # stream as the host block loop: the first adaptation block (before
+    # any covariance-update roundoff can diverge) is bitwise identical,
+    # and both runs recover the target moments
+    def run(in_graph):
+        options = MHOptions(
+            dim=2, n_chains=4, n_pool=2, adaptation_method="Haario",
+            adaptation_interval=50, init_msg=None, seed=3,
+            burnin_in_graph=in_graph,
+        )
+        mh = MetropolisHastings(log_target=gaussian_log_target,
+                                options=options)
+        mh.scheduler(chains_state_initial=np.zeros(2),
+                     n_steps_total=3000, burnin_period=1200)
+        return mh
+
+    mh_g = run(True)
+    mh_h = run(False)
+    np.testing.assert_array_equal(mh_g.x[:, 1:51, :], mh_h.x[:, 1:51, :])
+    np.testing.assert_array_equal(mh_g.accept[:, 1:51],
+                                  mh_h.accept[:, 1:51])
+    # burn-in stops on a block boundary and never exceeds the budget
+    assert mh_g.burnin_period % 50 == 0 or mh_g.burnin_period == 1200
+    assert mh_g.burnin_period <= 1200
+    for mh in (mh_g, mh_h):
+        post = mh.x[:, mh.burnin_period:mh.global_iter, :].reshape(-1, 2)
+        np.testing.assert_allclose(post.mean(axis=0), TARGET_MEAN, atol=0.3)
+
+
+def test_mh_burnin_in_graph_rm():
+    # RM adaptation variant of the in-graph burn-in (diminishing gamma
+    # schedule precomputed per block)
+    options = MHOptions(
+        dim=2, n_chains=2, adaptation_method="RM",
+        adaptation_interval=50, init_msg=None, seed=5,
+    )
+    mh = MetropolisHastings(log_target=gaussian_log_target, options=options)
+    samples = mh.scheduler(chains_state_initial=np.zeros(2),
+                           n_steps_total=3000, burnin_period=1500)
+    post = np.asarray(samples)[:, mh.burnin_period:, :].reshape(-1, 2)
+    np.testing.assert_allclose(post.mean(axis=0), TARGET_MEAN, atol=0.35)
+
+
 # ------------------------------ NUTS ------------------------------
 def test_nuts_gaussian_moments():
     q_init = np.zeros((2, 2))
