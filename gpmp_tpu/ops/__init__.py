@@ -1,8 +1,7 @@
 # gpmp_tpu/ops/__init__.py
-"""TPU-native hot ops: the Pallas blocked Cholesky kernel, the
-mixed-precision solve/logdet/diag engine, and f32+refinement factors."""
+"""TPU-native hot ops: the mixed-precision solve/logdet/diag engine
+and f32+refinement factors (f32 factorizations, f64 matmul math)."""
 
-from .cholesky import cholesky, cholesky_pallas
 from .mixed import (
     mp_cholesky,
     mp_logdet,
@@ -14,8 +13,6 @@ from .mixed import (
 from .refine import newton_tri_inv, refined_cholesky, sampling_sqrt
 
 __all__ = [
-    "cholesky",
-    "cholesky_pallas",
     "mp_cholesky",
     "mp_logdet",
     "mp_solve_and_inv_diag",

@@ -10,11 +10,16 @@ f64 work as matrix multiplications:
 1.  L32 = chol_f32(K + ridge), ridge ~ 10 eps32 mean(diag) -- the f32
     factor is only a preconditioner, so the ridge costs nothing in
     accuracy but keeps the f32 factorization alive where f64 would
-    still succeed.  XLA's f32 Cholesky is the default (fast and exact
-    f32 on TPU); use_pallas=True swaps in the VMEM-resident Pallas
-    kernel (ops/cholesky.py), which with precision=HIGHEST dots is
-    numerically equivalent but currently slower -- it exists as the
-    building block for the distributed blocked factorization;
+    still succeed.  XLA's f32 Cholesky is used here.  (A VMEM-resident
+    Pallas blocked Cholesky -- masked rank-1 panel factorization, MXU
+    SYRK updates, even a fused factor+inverse variant -- was built and
+    benchmarked against it in-graph with dispatch amortized: XLA won
+    at every size that matters, 1.07 vs 1.58 ms at n=1024 and 1.12 vs
+    1.86 ms at n=1408 on v5e.  The serial VPU chain of the in-kernel
+    panel factorization is the floor, and XLA's own blocked lowering
+    has the same structure with better panel code.  The kernel was
+    removed; BENCHMARKS.md "Pallas Cholesky postmortem" records the
+    numbers.);
 2.  M = inv(L32) by an f32 triangular solve, promoted to f64.  Solves
     become matmul applications  x -> M^T (M x);
 3.  K x = b by iterative refinement:  x += M^T M (b - K x), with the
@@ -45,8 +50,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
-
-from .cholesky import cholesky
 
 def forward_mode_ad(*arrays):
     """True if any argument carries a forward-mode (JVP) tracer.
@@ -135,7 +138,7 @@ def _block_tri_inv(L, base=128):
     return B[0][:n0, :n0]
 
 
-def _f32_preconditioner(K, use_pallas=False, interpret=False):
+def _f32_preconditioner(K):
     """(L32 promoted to f64, M = L32^{-1} promoted to f64)."""
     n = K.shape[0]
     K32 = K.astype(jnp.float32)
@@ -143,10 +146,7 @@ def _f32_preconditioner(K, use_pallas=False, interpret=False):
         jnp.trace(K32) / n
     )
     K32 = K32 + ridge * jnp.eye(n, dtype=jnp.float32)
-    if use_pallas:
-        L32 = cholesky(K32, interpret)
-    else:
-        L32 = jnp.linalg.cholesky(K32)
+    L32 = jnp.linalg.cholesky(K32)
     M32 = _block_tri_inv(L32)
     return L32.astype(K.dtype), M32.astype(K.dtype)
 
@@ -157,16 +157,14 @@ def _apply(M, R):
 
 
 def refined_cholesky_solve(K, B, precond=None,
-                           n_refine=DEFAULT_REFINE_ITERS, use_pallas=False,
-                           interpret=False):
+                           n_refine=DEFAULT_REFINE_ITERS):
     """Solve K X = B to ~f64 accuracy via f32-preconditioned refinement.
 
     Returns (X, (L, M)) where L is the promoted f32 factor and M its
     inverse (reusable across solves with the same K).
     """
     if precond is None:
-        precond = _f32_preconditioner(K, use_pallas=use_pallas,
-                                      interpret=interpret)
+        precond = _f32_preconditioner(K)
     L, M = precond
     squeeze = B.ndim == 1
     Bm = B.reshape(-1, 1) if squeeze else B
@@ -183,7 +181,7 @@ def refined_cholesky_solve(K, B, precond=None,
     return (X.reshape(-1) if squeeze else X), precond
 
 
-def mp_logdet(K, precond, use_pallas=False, interpret=False):
+def mp_logdet(K, precond):
     """log det K to ~f64 accuracy from the f32 preconditioner.
 
     Uses the EXACT identity log det K = log det(M K M^T) - 2 log det M
@@ -195,8 +193,7 @@ def mp_logdet(K, precond, use_pallas=False, interpret=False):
     n = K.shape[0]
     _L, M = precond
     E = M @ K @ M.T  # near-identity, f64 matmuls
-    _L_E, M_E = _f32_preconditioner(E, use_pallas=use_pallas,
-                                    interpret=interpret)
+    _L_E, M_E = _f32_preconditioner(E)
     E2 = M_E @ E @ M_E.T
     D2 = E2 - jnp.eye(n, dtype=K.dtype)
     d2norm2 = jnp.sum(D2 * D2)
@@ -210,11 +207,10 @@ def mp_logdet(K, precond, use_pallas=False, interpret=False):
     return jnp.where(d2norm2 < _LOGDET_FTOL2, ld, jnp.nan)
 
 
-def _level2_logdet(E, M, use_pallas=False, interpret=False):
+def _level2_logdet(E, M):
     """Two-level logdet correction from E = M K M^T (robust path)."""
     n = E.shape[0]
-    _L_E, M_E = _f32_preconditioner(E, use_pallas=use_pallas,
-                                    interpret=interpret)
+    _L_E, M_E = _f32_preconditioner(E)
     E2 = M_E @ E @ M_E.T
     D2 = E2 - jnp.eye(n, dtype=E.dtype)
     d2norm2 = jnp.sum(D2 * D2)
@@ -233,7 +229,7 @@ def _level2_logdet(E, M, use_pallas=False, interpret=False):
 _SERIES_TAU = 1e-4
 
 
-def _mp_solve_and_logdet_core(n_refine, use_pallas, interpret, K, B):
+def _mp_solve_and_logdet_core(n_refine, K, B):
     """Forward pass shared by primal and VJP rules.
 
     Level-1 pieces (f32 factor M = L32^{-1}, refined solve X, the
@@ -243,9 +239,7 @@ def _mp_solve_and_logdet_core(n_refine, use_pallas, interpret, K, B):
     (second f32 factorization of E) for ill-conditioned K, via a real
     lax.cond branch so the fast path never pays for the fallback.
     """
-    X, precond = refined_cholesky_solve(
-        K, B, n_refine=n_refine, use_pallas=use_pallas, interpret=interpret
-    )
+    X, precond = refined_cholesky_solve(K, B, n_refine=n_refine)
     _L, M = precond
     n = K.shape[0]
     E = M @ (K @ M.T)
@@ -271,30 +265,25 @@ def _mp_solve_and_logdet_core(n_refine, use_pallas, interpret, K, B):
     def _robust(operands):
         M_, D_ = operands
         E_ = D_ + jnp.eye(n, dtype=K.dtype)
-        return _level2_logdet(E_, M_, use_pallas=use_pallas,
-                              interpret=interpret)
+        return _level2_logdet(E_, M_)
 
     # NaN trD2 (non-PD K) compares False -> robust branch -> NaN ld
     ld = jax.lax.cond(trD2 < _SERIES_TAU, _series, _robust, (M, D))
     return X, ld, (K, M, D, X)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _mp_solve_and_logdet(n_refine, use_pallas, interpret, K, B):
-    X, ld, _res = _mp_solve_and_logdet_core(
-        n_refine, use_pallas, interpret, K, B
-    )
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mp_solve_and_logdet(n_refine, K, B):
+    X, ld, _res = _mp_solve_and_logdet_core(n_refine, K, B)
     return X, ld
 
 
-def _mp_sal_fwd(n_refine, use_pallas, interpret, K, B):
-    X, ld, res = _mp_solve_and_logdet_core(
-        n_refine, use_pallas, interpret, K, B
-    )
+def _mp_sal_fwd(n_refine, K, B):
+    X, ld, res = _mp_solve_and_logdet_core(n_refine, K, B)
     return (X, ld), res
 
 
-def _mp_sal_bwd(n_refine, use_pallas, interpret, res, cot):
+def _mp_sal_bwd(n_refine, res, cot):
     """Analytic backward: all f64 work is matmuls.
 
     d(K^{-1}B) -> Kbar -= S X^T, Bbar = S with S = K^{-1} Xbar (one
@@ -311,10 +300,7 @@ def _mp_sal_bwd(n_refine, use_pallas, interpret, res, cot):
     squeeze = Xbar.ndim == 1
     Xb = Xbar.reshape(-1, 1) if squeeze else Xbar
     Xm = X.reshape(-1, 1) if squeeze else X
-    S, _ = refined_cholesky_solve(
-        K, Xb, precond=(M, M), n_refine=n_refine,
-        use_pallas=use_pallas, interpret=interpret,
-    )
+    S, _ = refined_cholesky_solve(K, Xb, precond=(M, M), n_refine=n_refine)
 
     trD2 = jnp.sum(D * D)
 
@@ -334,8 +320,7 @@ def _mp_sal_bwd(n_refine, use_pallas, interpret, res, cot):
     def _robust_inv(operands):
         M_, D_ = operands
         E_ = D_ + eye
-        _L_E, M_E = _f32_preconditioner(E_, use_pallas=use_pallas,
-                                        interpret=interpret)
+        _L_E, M_E = _f32_preconditioner(E_)
         E2 = M_E @ E_ @ M_E.T
         DL = E2 - eye
         G = M_E @ M_
@@ -351,8 +336,7 @@ def _mp_sal_bwd(n_refine, use_pallas, interpret, res, cot):
 _mp_solve_and_logdet.defvjp(_mp_sal_fwd, _mp_sal_bwd)
 
 
-def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS,
-                        use_pallas=False, interpret=False):
+def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS):
     """(K^{-1} B, log det K) sharing one f32 preconditioner.
 
     Differentiable via an analytic custom VJP (see _mp_sal_bwd); the
@@ -365,7 +349,7 @@ def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS,
     raise; only direct callers of this function need
     GPMP_CHOL_ENGINE=f64 for second-order work.
     """
-    return _mp_solve_and_logdet(n_refine, use_pallas, interpret, K, B)
+    return _mp_solve_and_logdet(n_refine, K, B)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -395,8 +379,7 @@ def refined_solve(K, B, n_refine=DEFAULT_REFINE_ITERS):
     return _refined_solve_grad(n_refine, K, B)
 
 
-def mp_solve_and_inv_diag(K, B, n_refine=DEFAULT_REFINE_ITERS,
-                          use_pallas=False, interpret=False):
+def mp_solve_and_inv_diag(K, B, n_refine=DEFAULT_REFINE_ITERS):
     """(K^{-1} B to ~f64, diag(K^{-1}) to ~1e-7 relative).
 
     The LOO building block (reference loo.py:65-83 needs exactly
@@ -407,9 +390,7 @@ def mp_solve_and_inv_diag(K, B, n_refine=DEFAULT_REFINE_ITERS,
     identity part).  Falls back to the two-level expansion through the
     same lax.cond guard as the logdet; non-PD K yields NaNs.
     """
-    X, precond = refined_cholesky_solve(
-        K, B, n_refine=n_refine, use_pallas=use_pallas, interpret=interpret
-    )
+    X, precond = refined_cholesky_solve(K, B, n_refine=n_refine)
     _L, M = precond
     n = K.shape[0]
     E = M @ (K @ M.T)
@@ -427,8 +408,7 @@ def mp_solve_and_inv_diag(K, B, n_refine=DEFAULT_REFINE_ITERS,
     def _robust(operands):
         M_, D_ = operands
         E_ = D_ + jnp.eye(n, dtype=K.dtype)
-        _L_E, M_E = _f32_preconditioner(E_, use_pallas=use_pallas,
-                                        interpret=interpret)
+        _L_E, M_E = _f32_preconditioner(E_)
         E2 = M_E @ E_ @ M_E.T
         DL = E2 - jnp.eye(n, dtype=K.dtype)
         G = M_E @ M_
@@ -442,7 +422,7 @@ def mp_solve_and_inv_diag(K, B, n_refine=DEFAULT_REFINE_ITERS,
 
 
 # backward-compatible helper (factor only)
-def mp_cholesky(K, use_pallas=False, interpret=False):
+def mp_cholesky(K):
     """Approximate (jittered) lower Cholesky factor from f32."""
-    L, _ = _f32_preconditioner(K, use_pallas=use_pallas, interpret=interpret)
+    L, _ = _f32_preconditioner(K)
     return L

@@ -1,9 +1,8 @@
 # tests/test_ops.py
-"""Pallas Cholesky kernel + mixed-precision engine tests.
+"""Mixed-precision engine tests.
 
-On CPU, the Pallas kernel runs in interpreter mode (small sizes); the
-mixed-precision refinement/logdet math is validated with the XLA f32
-fallback (use_pallas=False) against f64 oracles.
+The refinement/logdet math (f32 XLA factorizations + f64 matmul
+corrections) is validated against f64 oracles on CPU.
 """
 
 import numpy as np
@@ -13,7 +12,6 @@ import jax
 import jax.numpy as jnp
 
 import gpmp_tpu.num as gnp
-from gpmp_tpu.ops.cholesky import cholesky_pallas
 from gpmp_tpu.ops.mixed import (
     mp_logdet,
     mp_solve_and_logdet,
@@ -28,27 +26,6 @@ def _spd(n, cond=1e4, seed=0):
     return Q @ np.diag(eigs) @ Q.T
 
 
-def test_pallas_cholesky_interpret_small():
-    n = 256
-    K = _spd(n, cond=1e3)
-    K32 = jnp.asarray(K, dtype=jnp.float32)
-    L = cholesky_pallas(K32, interpret=True)
-    L_ref = np.linalg.cholesky(K)
-    rel = float(np.max(np.abs(np.asarray(L) - L_ref))) / float(
-        np.abs(L_ref).max()
-    )
-    assert rel < 1e-4
-
-
-def test_pallas_cholesky_interpret_padding():
-    n = 200  # not a multiple of 128 -> exercises SPD identity padding
-    K = _spd(n, cond=1e2, seed=1)
-    L = cholesky_pallas(jnp.asarray(K, dtype=jnp.float32), interpret=True)
-    assert L.shape == (n, n)
-    rec = np.asarray(L) @ np.asarray(L).T
-    np.testing.assert_allclose(rec, K, rtol=1e-3, atol=1e-5)
-
-
 @pytest.mark.parametrize("cond,tol", [(1e2, 1e-11), (1e4, 1e-9), (1e6, 1e-4)])
 def test_refined_solve_accuracy(cond, tol):
     n = 300
@@ -56,8 +33,7 @@ def test_refined_solve_accuracy(cond, tol):
     rng = np.random.default_rng(3)
     B = rng.normal(size=(n, 3))
     Kj = gnp.asarray(K)
-    X, _ = refined_cholesky_solve(Kj, gnp.asarray(B), use_pallas=False,
-                                  n_refine=6)
+    X, _ = refined_cholesky_solve(Kj, gnp.asarray(B), n_refine=6)
     X_ref = np.linalg.solve(K, B)
     rel = np.max(np.abs(np.asarray(X) - X_ref)) / np.max(np.abs(X_ref))
     assert rel < tol
@@ -68,7 +44,7 @@ def test_mp_logdet_accuracy(cond, tol):
     n = 300
     K = _spd(n, cond=cond, seed=4)
     Kj = gnp.asarray(K)
-    _, ld = mp_solve_and_logdet(Kj, gnp.asarray(np.ones(n)), use_pallas=False)
+    _, ld = mp_solve_and_logdet(Kj, gnp.asarray(np.ones(n)))
     _s, ld_ref = np.linalg.slogdet(K)
     assert abs(float(ld) - ld_ref) / max(abs(ld_ref), 1.0) < tol
 
@@ -80,7 +56,7 @@ def test_mp_engine_differentiable():
 
     def nll(theta):
         K = gnp.asarray(K0) * jnp.exp(theta)
-        x, ld = mp_solve_and_logdet(K, gnp.asarray(z), use_pallas=False)
+        x, ld = mp_solve_and_logdet(K, gnp.asarray(z))
         return 0.5 * (ld + z @ x)
 
     g = jax.grad(nll)(jnp.asarray(0.1))
@@ -95,9 +71,7 @@ def test_mp_engine_differentiable():
 def test_nonpd_propagates_nan():
     n = 64
     K = -np.eye(n)
-    x, ld = mp_solve_and_logdet(
-        gnp.asarray(K), gnp.asarray(np.ones(n)), use_pallas=False
-    )
+    x, ld = mp_solve_and_logdet(gnp.asarray(K), gnp.asarray(np.ones(n)))
     assert np.isnan(float(ld)) or np.isinf(float(ld))
 
 
@@ -135,7 +109,7 @@ def test_mp_engine_custom_vjp_grad(cond):
 
     def nll_mixed(theta):
         K = K0j * jnp.exp(theta[0]) + jnp.exp(theta[1]) * jnp.eye(n) * 1e-9
-        x, ld = mp_solve_and_logdet(K, zj, use_pallas=False)
+        x, ld = mp_solve_and_logdet(K, zj)
         return 0.5 * (ld + zj @ x)
 
     def nll_f64(theta):
@@ -164,8 +138,7 @@ def test_mp_engine_custom_vjp_solve_cotangent():
 
     def quad(theta):
         b = zj * theta
-        x, _ld = mp_solve_and_logdet(K0j * jnp.exp(theta), b,
-                                     use_pallas=False)
+        x, _ld = mp_solve_and_logdet(K0j * jnp.exp(theta), b)
         return b @ x
 
     g = float(jax.grad(quad)(jnp.asarray(0.2)))
