@@ -25,10 +25,13 @@ f64 work as matrix multiplications:
 3.  K x = b by iterative refinement:  x += M^T M (b - K x), with the
     residual in f64.  Each sweep contracts the error by
     O(eps32 cond(K));
-4.  log det K = 2 sum log diag L32 + log det E,  E = M K M^T -- exact
-    for ANY invertible preconditioner.  E is near-identity, so a second
-    level (f32 factor of E, then a second-order trace expansion) brings
-    the truncation error to f64 roundoff.
+4.  log det K = 2 sum log diag L32 + log det(I + H) with
+    H = M (K - L L^T) M^T, the factorization-residual form of the
+    near-identity defect M K M^T - I: ONE triangular-panel f64 matmul
+    (~n^3/3 MACs) instead of the two square ones of E = M K M^T, then
+    a quartic trace series in H (or, for ill-conditioned K, a second
+    f32 factorization of I + H) brings the truncation error to f64
+    roundoff.
 
 All pieces are differentiable JAX ops, so criteria built on this engine
 feed jax.value_and_grad directly.  A genuinely non-PD K still surfaces
@@ -151,32 +154,133 @@ def _f32_preconditioner(K):
     return L32.astype(K.dtype), M32.astype(K.dtype)
 
 
+def _f64_matvec(K, X):
+    """K @ X for f64 (n, n) K and skinny X, as multiply + f64 reduction.
+
+    XLA's emulated-f64 dot pays its dd-product passes on MXU tiles that
+    amortize badly for skinny rhs (measured 12.1 ms for
+    (4096, 4096) x (4096, 2) on v5e); the fused broadcast-multiply +
+    reduce is bandwidth-bound (3.5 ms, same result: f64 products, f64
+    tree reduction -- only the summation order differs).  Wide rhs
+    keeps the dot, whose MXU passes then amortize.
+    """
+    if X.ndim == 1:
+        return jnp.sum(K * X[None, :], axis=1)
+    if X.shape[1] > 8:
+        return jnp.dot(K, X, precision=jax.lax.Precision.HIGHEST)
+    cols = [jnp.sum(K * X[None, :, j], axis=1) for j in range(X.shape[1])]
+    return jnp.stack(cols, axis=1)
+
+
+def _factorization_residual_f32(K, L64, block):
+    """R = K - L L^T, computed in f64 (the cancellation K ~= L L^T makes
+    f64 mandatory) but RETURNED in f32 -- R's downstream consumers
+    (H = M R M^T and its traces) are f32 contractions, and R's entries
+    carry only ~eps32 * |K| of information to begin with.
+
+    Cost control: R is symmetric and L is lower triangular, so only the
+    lower-triangular panels are computed -- panel j is
+    K[c0:, c0:c1] - L[c0:, :c1] @ L[c0:c1, :c1]^T, about n^3/3 emulated-
+    f64 FLOPs in total (vs 2 n^3 for the dense product, n^3 for the
+    column-restricted full-height version).  Each panel is cast to f32
+    immediately and the symmetric completion runs in cheap f32
+    elementwise ops.  Static Python loop: n/block dots."""
+    n = K.shape[0]
+    if n % block or n // block <= 1:
+        return (
+            K - jnp.dot(L64, L64.T, precision=jax.lax.Precision.HIGHEST)
+        ).astype(jnp.float32)
+    panels = []
+    for j in range(n // block):
+        c0, c1 = j * block, (j + 1) * block
+        p = (
+            K[c0:, c0:c1]
+            - jnp.dot(L64[c0:, :c1], L64[c0:c1, :c1].T,
+                      precision=jax.lax.Precision.HIGHEST)
+        ).astype(jnp.float32)
+        if c0:
+            p = jnp.concatenate(
+                [jnp.zeros((c0, block), dtype=jnp.float32), p], axis=0
+            )
+        panels.append(p)
+    Tlow = jnp.concatenate(panels, axis=1)
+    # computed entries are exact for row >= panel start; keep r >= c,
+    # mirror the strict lower triangle
+    Tlow = jnp.tril(Tlow)
+    return Tlow + jnp.tril(Tlow, -1).T
+
+
+def _residual_block(n):
+    """Panel width for _factorization_residual_f32: quarters when they
+    divide n (the panel restriction then saves ~2/3 of the f64 MACs),
+    else the dense fallback inside the helper takes over."""
+    return n // 4 if n % 4 == 0 and n >= 512 else n
+
+
 def _apply(M, R):
-    """Preconditioner application M^T (M R) -- two f64 matmuls."""
-    return M.T @ (M @ R)
+    """Preconditioner application M^T (M R), run on the f32 MXU path.
+
+    The refinement only needs the preconditioner's own eps32-level
+    accuracy -- the f64 information lives in the residual, which the
+    caller computes in f64 -- so both matvecs run in f32.  The f32
+    cast of M is a single materialized tensor per compiled program
+    (CSE), not a per-apply cost.
+    """
+    M32 = M.astype(jnp.float32)
+    r32 = R.astype(jnp.float32)
+    c32 = jnp.dot(M32.T, jnp.dot(M32, r32,
+                                 precision=jax.lax.Precision.HIGHEST),
+                  precision=jax.lax.Precision.HIGHEST)
+    return c32.astype(R.dtype)
 
 
 def refined_cholesky_solve(K, B, precond=None,
-                           n_refine=DEFAULT_REFINE_ITERS):
+                           n_refine=DEFAULT_REFINE_ITERS,
+                           early_exit=False):
     """Solve K X = B to ~f64 accuracy via f32-preconditioned refinement.
 
     Returns (X, (L, M)) where L is the promoted f32 factor and M its
     inverse (reusable across solves with the same K).
+
+    early_exit=True runs the sweeps in a lax.while_loop that stops when
+    the f64 residual hits its floor or stagnates (well-conditioned K
+    converges in 1-2 sweeps; n_refine is the cap).  The while_loop is
+    not reverse-differentiable, so only the custom-VJP wrappers enable
+    it; the default unrolled loop keeps this function traceable by
+    plain jax.grad (e.g. through mp_solve_and_inv_diag).
     """
     if precond is None:
         precond = _f32_preconditioner(K)
     L, M = precond
     squeeze = B.ndim == 1
     Bm = B.reshape(-1, 1) if squeeze else B
+    bb = jnp.maximum(jnp.sum(Bm * Bm), jnp.finfo(K.dtype).tiny)
     X = _apply(M, Bm)
-    for _ in range(n_refine):
-        R = Bm - K @ X
-        X = X + _apply(M, R)
+    R = Bm - _f64_matvec(K, X)
+    if early_exit:
+        floor2 = 1e-24
+
+        def _not_done(carry):
+            _X, _R, r2, r2_prev, it = carry
+            return (r2 >= floor2) & (r2 < 0.25 * r2_prev) & (it < n_refine)
+
+        def _sweep(carry):
+            X_, R_, r2, _r2p, it = carry
+            X_ = X_ + _apply(M, R_)
+            R_ = Bm - _f64_matvec(K, X_)
+            return X_, R_, jnp.sum(R_ * R_) / bb, r2, it + 1
+
+        r2_0 = jnp.sum(R * R) / bb
+        X, R, _, _, _ = jax.lax.while_loop(
+            _not_done, _sweep,
+            (X, R, r2_0, jnp.full((), jnp.inf, r2_0.dtype), jnp.int32(0)),
+        )
+    else:
+        for _ in range(n_refine):
+            X = X + _apply(M, R)
+            R = Bm - _f64_matvec(K, X)
     # convergence guard: final relative residual must be tiny, else NaN
-    R = Bm - K @ X
-    rel2 = jnp.sum(R * R) / jnp.maximum(
-        jnp.sum(Bm * Bm), jnp.finfo(K.dtype).tiny
-    )
+    rel2 = jnp.sum(R * R) / bb
     X = jnp.where(rel2 < _SOLVE_RTOL2, X, jnp.nan)
     return (X.reshape(-1) if squeeze else X), precond
 
@@ -232,44 +336,63 @@ _SERIES_TAU = 1e-4
 def _mp_solve_and_logdet_core(n_refine, K, B):
     """Forward pass shared by primal and VJP rules.
 
-    Level-1 pieces (f32 factor M = L32^{-1}, refined solve X, the
-    near-identity defect D = M K M^T - I) are always computed; the
-    logdet uses a quartic trace series in D when |D|_F^2 < tau (one
-    extra f64 matmul for D^2) and falls back to the two-level scheme
-    (second f32 factorization of E) for ill-conditioned K, via a real
-    lax.cond branch so the fast path never pays for the fallback.
+    Level-1 pieces: f32 factor L32 and its inverse M, the refined solve
+    X, and the near-identity defect H = M (K - L L^T) M^T ~= M K M^T - I
+    via the factorization-residual identity -- ONE f64 (n, n) matmul
+    (triangular panels, ~n^3/3 MACs) instead of the two square ones of
+    E = M K M^T; the residual's f64 signal survives the f32 cast
+    because H's consumers only need eps32 RELATIVE accuracy (the same
+    rebalancing the sharded engine in parallel/mixed.py uses).  The
+    logdet is 2 sum log diag L + log det(I + H): a quartic trace series
+    in H when |H|_F^2 < tau, else the two-level scheme (second f32
+    factorization of I + H) for ill-conditioned K, via a real lax.cond
+    so the fast path never pays for the fallback.
     """
-    X, precond = refined_cholesky_solve(K, B, n_refine=n_refine)
-    _L, M = precond
+    X, precond = refined_cholesky_solve(K, B, n_refine=n_refine,
+                                        early_exit=True)
+    L, M = precond
     n = K.shape[0]
-    E = M @ (K @ M.T)
-    D = E - jnp.eye(n, dtype=K.dtype)
-    trD2 = jnp.sum(D * D)  # = tr(D^2), D symmetric
+    R32 = _factorization_residual_f32(K, L, _residual_block(n))
+    M32 = M.astype(jnp.float32)
+    H = jnp.dot(M32, jnp.dot(R32, M32.T,
+                             precision=jax.lax.Precision.HIGHEST),
+                precision=jax.lax.Precision.HIGHEST)
+    trH2 = jnp.sum(H.astype(K.dtype) * H.astype(K.dtype))
 
     def _series(operands):
-        # tr D and tr D^2 are first/second order and come from the f64
-        # D elementwise (no matmul); tr D^3 and tr D^4 are O(|D|^3)
-        # corrections, so the one matmul they need (D^2) runs in f32:
-        # its ~1e-7 relative error lands at O(1e-7 |D|^3) <= 1e-13.
-        M_, D_ = operands
-        D32 = D_.astype(jnp.float32)
-        D2 = (D32 @ D32).astype(K.dtype)
+        # tr H in f64 from the diagonal; the higher traces are O(|H|^2)
+        # corrections, so the one matmul they need (H^2) runs in f32
+        L_, H_ = operands
+        H2 = (H_ @ H_).astype(K.dtype)
+        H64 = H_.astype(K.dtype)
         return (
-            -2.0 * jnp.sum(jnp.log(jnp.diag(M_)))
-            + jnp.trace(D_)
-            - jnp.sum(D_ * D_) / 2.0
-            + jnp.sum(D2 * D_) / 3.0
-            - jnp.sum(D2 * D2) / 4.0
+            2.0 * jnp.sum(jnp.log(jnp.diag(L_)))
+            + jnp.trace(H64)
+            - jnp.sum(H64 * H64) / 2.0
+            + jnp.sum(H2 * H64) / 3.0
+            - jnp.sum(H2 * H2) / 4.0
         )
 
     def _robust(operands):
-        M_, D_ = operands
-        E_ = D_ + jnp.eye(n, dtype=K.dtype)
-        return _level2_logdet(E_, M_)
+        # log det K = 2 sum log diag L + log det(I + H); factor I + H
+        # at a second level exactly as _level2_logdet does for E
+        L_, H_ = operands
+        E_ = jnp.eye(n, dtype=K.dtype) + H_.astype(K.dtype)
+        _L_E, M_E = _f32_preconditioner(E_)
+        E2 = M_E @ E_ @ M_E.T
+        D2 = E2 - jnp.eye(n, dtype=K.dtype)
+        d2norm2 = jnp.sum(D2 * D2)
+        corr2 = jnp.trace(D2) - 0.5 * d2norm2
+        ld = (
+            2.0 * jnp.sum(jnp.log(jnp.diag(L_)))
+            - 2.0 * jnp.sum(jnp.log(jnp.diag(M_E)))
+            + corr2
+        )
+        return jnp.where(d2norm2 < _LOGDET_FTOL2, ld, jnp.nan)
 
-    # NaN trD2 (non-PD K) compares False -> robust branch -> NaN ld
-    ld = jax.lax.cond(trD2 < _SERIES_TAU, _series, _robust, (M, D))
-    return X, ld, (K, M, D, X)
+    # NaN trH2 (non-PD K) compares False -> robust branch -> NaN ld
+    ld = jax.lax.cond(trH2 < _SERIES_TAU, _series, _robust, (L, H))
+    return X, ld, (K, M, H, X)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -288,46 +411,46 @@ def _mp_sal_bwd(n_refine, res, cot):
 
     d(K^{-1}B) -> Kbar -= S X^T, Bbar = S with S = K^{-1} Xbar (one
     refined solve reusing the saved preconditioner); d(logdet K) ->
-    Kbar += ldbar K^{-1}, with K^{-1} ~= M^T (I - D + D^2) M on the
-    series branch (relative error O(|D|^3) <= 1e-6 at the guard) and
+    Kbar += ldbar K^{-1}, with K^{-1} ~= M^T (I - H + H^2) M on the
+    series branch (relative error O(|H|^3) <= 1e-6 at the guard) and
     the two-level analogue on the robust branch.
     """
     Xbar, ldbar = cot
-    K, M, D, X = res
+    K, M, H, X = res
     n = K.shape[0]
     eye = jnp.eye(n, dtype=K.dtype)
 
     squeeze = Xbar.ndim == 1
     Xb = Xbar.reshape(-1, 1) if squeeze else Xbar
     Xm = X.reshape(-1, 1) if squeeze else X
-    S, _ = refined_cholesky_solve(K, Xb, precond=(M, M), n_refine=n_refine)
+    S, _ = refined_cholesky_solve(K, Xb, precond=(M, M), n_refine=n_refine,
+                                  early_exit=True)
 
-    trD2 = jnp.sum(D * D)
+    trH2 = jnp.sum(H.astype(K.dtype) * H.astype(K.dtype))
 
     def _series_inv(operands):
-        # Kinv ~= M^T (I - D + D^2) M = M^T M - M^T (D - D^2) M.  The
-        # identity part needs one f64 matmul; the correction is O(|D|)
+        # Kinv ~= M^T (I - H + H^2) M = M^T M - M^T (H - H^2) M.  The
+        # identity part needs one f64 matmul; the correction is O(|H|)
         # relative to it, so its two matmuls run in f32 (error
-        # O(1e-7 |D|) <= 1e-9 relative on Kinv).
-        M_, D_ = operands
+        # O(1e-7 |H|) <= 1e-9 relative on Kinv).
+        M_, H_ = operands
         Y = M_.T @ M_
         M32 = M_.astype(jnp.float32)
-        D32 = D_.astype(jnp.float32)
-        DmD2 = D32 - D32 @ D32
-        C = (M32.T @ (DmD2 @ M32)).astype(K.dtype)
+        HmH2 = H_ - H_ @ H_
+        C = (M32.T @ (HmH2 @ M32)).astype(K.dtype)
         return Y - C
 
     def _robust_inv(operands):
-        M_, D_ = operands
-        E_ = D_ + eye
+        M_, H_ = operands
+        E_ = eye + H_.astype(K.dtype)
         _L_E, M_E = _f32_preconditioner(E_)
         E2 = M_E @ E_ @ M_E.T
         DL = E2 - eye
         G = M_E @ M_
-        H = (eye - DL + DL @ DL) @ G
-        return G.T @ H
+        W = (eye - DL + DL @ DL) @ G
+        return G.T @ W
 
-    Kinv = jax.lax.cond(trD2 < _SERIES_TAU, _series_inv, _robust_inv, (M, D))
+    Kinv = jax.lax.cond(trH2 < _SERIES_TAU, _series_inv, _robust_inv, (M, H))
     Kbar = ldbar * Kinv - S @ Xm.T
     Bbar = S.reshape(Xbar.shape)
     return Kbar, Bbar
@@ -354,11 +477,13 @@ def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _refined_solve_grad(n_refine, K, B):
-    X, _ = refined_cholesky_solve(K, B, n_refine=n_refine)
+    X, _ = refined_cholesky_solve(K, B, n_refine=n_refine,
+                                  early_exit=True)
     return X
 
 def _rs_fwd(n_refine, K, B):
-    X, precond = refined_cholesky_solve(K, B, n_refine=n_refine)
+    X, precond = refined_cholesky_solve(K, B, n_refine=n_refine,
+                                        early_exit=True)
     return X, (K, precond[1], X)
 
 def _rs_bwd(n_refine, res, Xbar):
@@ -366,7 +491,8 @@ def _rs_bwd(n_refine, res, Xbar):
     squeeze = Xbar.ndim == 1
     Xb = Xbar.reshape(-1, 1) if squeeze else Xbar
     Xm = X.reshape(-1, 1) if squeeze else X
-    S, _ = refined_cholesky_solve(K, Xb, precond=(M, M), n_refine=n_refine)
+    S, _ = refined_cholesky_solve(K, Xb, precond=(M, M), n_refine=n_refine,
+                                  early_exit=True)
     return -S @ Xm.T, S.reshape(Xbar.shape)
 
 _refined_solve_grad.defvjp(_rs_fwd, _rs_bwd)
@@ -387,8 +513,15 @@ def mp_solve_and_inv_diag(K, B, n_refine=DEFAULT_REFINE_ITERS):
     series the logdet uses: K^{-1} ~= M^T (I - D + D^2) M with
     D = M K M^T - I, so diag = colsumsq(M) - diag(M^T (D - D^2) M),
     the correction evaluated in f32 (it is O(|D|) relative to the
-    identity part).  Falls back to the two-level expansion through the
-    same lax.cond guard as the logdet; non-PD K yields NaNs.
+    identity part).  D keeps the two f64 matmuls of the E-form HERE
+    even though the logdet path switched to the one-matmul
+    factorization-residual H: diag entries are consumed individually
+    (the LOO parity bar is 1e-8 in max norm), so the eps32-relative
+    noise of an f32 H -- which averages out inside the logdet traces --
+    would land directly on each diagonal entry (measured 1.1e-7).
+    Falls back to the two-level expansion through the same lax.cond
+    guard as the logdet; non-PD K yields NaNs.  Plain
+    reverse-differentiable (no while_loop).
     """
     X, precond = refined_cholesky_solve(K, B, n_refine=n_refine)
     _L, M = precond
@@ -412,8 +545,8 @@ def mp_solve_and_inv_diag(K, B, n_refine=DEFAULT_REFINE_ITERS):
         E2 = M_E @ E_ @ M_E.T
         DL = E2 - jnp.eye(n, dtype=K.dtype)
         G = M_E @ M_
-        H = (jnp.eye(n, dtype=K.dtype) - DL + DL @ DL) @ G
-        d = jnp.sum(G * H, axis=0)
+        W = (jnp.eye(n, dtype=K.dtype) - DL + DL @ DL) @ G
+        d = jnp.sum(G * W, axis=0)
         # inherit the two-level convergence guard semantics
         return jnp.where(jnp.sum(DL * DL) < _LOGDET_FTOL2, d, jnp.nan)
 

@@ -71,23 +71,10 @@ def _f32mm(a, b):
     return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-def _f64_matvec(K, X):
-    """K @ X for f64 (n, n) K and skinny X, as multiply + f64 reduction.
-
-    XLA's emulated-f64 dot pays its dd-product passes on MXU tiles that
-    amortize badly for skinny rhs (measured 12.1 ms for
-    (4096, 4096) x (4096, 2) on v5e); the fused broadcast-multiply +
-    reduce is bandwidth-bound (3.5 ms, same result: f64 products, f64
-    tree reduction -- only the summation order differs).  Wide rhs
-    keeps the dot, whose MXU passes then amortize.  With K row-sharded
-    the reduction axis is local, so sharding propagates like the dot.
-    """
-    if X.ndim == 1:
-        return jnp.sum(K * X[None, :], axis=1)
-    if X.shape[1] > 8:
-        return jnp.dot(K, X, precision=jax.lax.Precision.HIGHEST)
-    cols = [jnp.sum(K * X[None, :, j], axis=1) for j in range(X.shape[1])]
-    return jnp.stack(cols, axis=1)
+# K @ X for skinny rhs as multiply + f64 reduction (bandwidth-bound;
+# see ops/mixed.py).  With K row-sharded the reduction axis is local,
+# so sharding propagates exactly like the dot it replaces.
+from gpmp_tpu.ops.mixed import _f64_matvec
 
 
 def _plain_f32_tri_pair(E32):
@@ -195,42 +182,10 @@ def _trace_dot(A, B_t):
     return jnp.sum(A.astype(jnp.float64) * B_t.astype(jnp.float64))
 
 
-def _factorization_residual_f32(K, L64, block):
-    """R = K - L L^T, computed in f64 (the cancellation K ~= L L^T makes
-    f64 mandatory) but RETURNED in f32 -- R's downstream consumers
-    (H = M R M^T and its traces) are f32 contractions, and R's entries
-    carry only ~eps32 * |K| of information to begin with.
-
-    Cost control: R is symmetric and L is lower triangular, so only the
-    lower-triangular panels are computed -- panel j is
-    K[c0:, c0:c1] - L[c0:, :c1] @ L[c0:c1, :c1]^T, about n^3/3 emulated-
-    f64 FLOPs in total (vs 2 n^3 for the dense product, n^3 for the
-    column-restricted full-height version).  Each panel is cast to f32
-    immediately and the symmetric completion runs in cheap f32
-    elementwise ops.  Static Python loop: n/block dots."""
-    n = K.shape[0]
-    if n % block or n // block <= 1:
-        return (
-            K - jnp.dot(L64, L64.T, precision=jax.lax.Precision.HIGHEST)
-        ).astype(jnp.float32)
-    panels = []
-    for j in range(n // block):
-        c0, c1 = j * block, (j + 1) * block
-        p = (
-            K[c0:, c0:c1]
-            - jnp.dot(L64[c0:, :c1], L64[c0:c1, :c1].T,
-                      precision=jax.lax.Precision.HIGHEST)
-        ).astype(jnp.float32)
-        if c0:
-            p = jnp.concatenate(
-                [jnp.zeros((c0, block), dtype=jnp.float32), p], axis=0
-            )
-        panels.append(p)
-    Tlow = jnp.concatenate(panels, axis=1)
-    # computed entries are exact for row >= panel start; keep r >= c,
-    # mirror the strict lower triangle
-    Tlow = jnp.tril(Tlow)
-    return Tlow + jnp.tril(Tlow, -1).T
+# R = K - L L^T in f64, returned f32 (triangular panels, ~n^3/3
+# emulated-f64 FLOPs); canonical definition shared with the dense
+# engine lives in ops/mixed.py.
+from gpmp_tpu.ops.mixed import _factorization_residual_f32
 
 
 def _mp_core(K, B, mesh, axis_name, block, n_refine):
