@@ -105,6 +105,14 @@ def _sharded_f32_preconditioner(K, mesh, axis_name, block):
         # XLA's native f32 Cholesky beats the blocked fori-loop on one
         # device (measured 24 vs 31 ms at n=4096 on v5e)
         L32 = jnp.linalg.cholesky(K32)
+        if n >= 8192:
+            # the recursive-doubling inverse (batched matmuls, log2
+            # levels) beats the sequential panel solve once the panel
+            # latency dominates (measured 34.6 vs 49.5 ms at n=8192;
+            # the panel solve still wins at n=4096, 4.5 vs 10.8 ms)
+            from gpmp_tpu.ops.mixed import _block_tri_inv
+
+            return L32, _block_tri_inv(L32, base=128)
     else:
         L32 = _sharded_cholesky_impl(
             K32, mesh, axis_name=axis_name, block=block, panel_impl="direct"
@@ -193,9 +201,19 @@ def _mp_core(K, B, mesh, axis_name, block, n_refine):
     n = K.shape[0]
     L32, M32 = _sharded_f32_preconditioner(K, mesh, axis_name, block)
 
-    # the ONE f64 (n, n) matmul: factorization residual
+    # the ONE f64 (n, n) matmul: factorization residual.  On a single
+    # device the panel width is a free parameter; ~n/8 measured best
+    # (panels block 512: 32.7 ms at n=4096; block 1024: 168.7 vs 183.3
+    # at n=8192).  Multi-device keeps the mesh block so the panel
+    # slices align with the row sharding.
     L64 = L32.astype(jnp.float64)
-    R32 = _factorization_residual_f32(K, L64, block)
+    rblock = block
+    if _single_device(mesh, axis_name):
+        if n >= 8192 and n % 1024 == 0:
+            rblock = 1024
+        elif n % 512 == 0:
+            rblock = 512
+    R32 = _factorization_residual_f32(K, L64, rblock)
     R32 = _row_shard(R32, mesh, axis_name)
 
     H = _f32mm(M32, _f32mm(R32, M32.T))       # H = M R M^T, f32
