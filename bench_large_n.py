@@ -173,13 +173,26 @@ def _build_model():
     return gp.Model(mean, kernel)
 
 
-def run_parity(n, block, n_devices=8):
-    os.environ.setdefault(
-        "XLA_FLAGS", f"--xla_force_host_platform_device_count={n_devices}"
-    )
-    import jax
+def run_parity(n, block, n_devices=8, device="cpu", engine=None):
+    """Sharded REML value + predict vs the streamed NumPy oracle.
 
-    jax.config.update("jax_platforms", "cpu")
+    device="cpu" (default): virtual n_devices CPU mesh — the multi-device
+    correctness run.  device="default": whatever JAX picks (the real TPU
+    chip under axon), single-device mesh — the hardware f64 parity run.
+    """
+    if engine:
+        os.environ["GPMP_CHOL_ENGINE"] = engine
+    if device == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            f"--xla_force_host_platform_device_count={n_devices}",
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        n_devices = 1
+        import jax
     import gpmp_tpu.num as gnp
     from gpmp_tpu.parallel import make_mesh, sharded_predict
     from gpmp_tpu.parallel.likelihood import (

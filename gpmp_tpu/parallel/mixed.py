@@ -79,13 +79,23 @@ from gpmp_tpu.ops.mixed import _f64_matvec
 
 def _plain_f32_tri_pair(E32):
     """(F, F^{-1}) for a near-identity SPD f32 matrix, via the plain XLA
-    Cholesky / triangular-solve ops (single HLO ops; used only on the
-    robust branch where a nested sharded factorization would bloat the
-    compiled program).  GSPMD replicates these ops on a mesh -- fine for
-    a fallback path."""
+    Cholesky (single HLO op; used only on the robust branch where a
+    nested sharded factorization would bloat the compiled program).
+    GSPMD replicates these ops on a mesh -- fine for a fallback path.
+
+    The inverse deliberately avoids solve_triangular with an (n, n)
+    identity RHS at large n: XLA:TPU lowers that to ~n/128 blocked
+    forward-substitution steps whose remat clones each keep an
+    (n - 128k, n) temp live -- measured 64 GB of HLO temps at n=16384
+    (the round-2 OOM).  The recursive-doubling inverse is batched
+    matmuls with bounded temps (and is faster anyway at n >= 8192)."""
     n = E32.shape[0]
     ridge = _RIDGE_FACTOR * jnp.finfo(jnp.float32).eps * (jnp.trace(E32) / n)
     F = jnp.linalg.cholesky(E32 + ridge * jnp.eye(n, dtype=jnp.float32))
+    if n >= 4096:
+        from gpmp_tpu.ops.mixed import _block_tri_inv
+
+        return F, _block_tri_inv(F, base=128)
     MF = jax.scipy.linalg.solve_triangular(
         F, jnp.eye(n, dtype=jnp.float32), lower=True
     )
