@@ -330,9 +330,15 @@ def main():
     ap.add_argument("--n", type=int, default=51200)
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--engine", default="mixed")
+    ap.add_argument("--device", choices=["cpu", "default"], default="cpu",
+                    help="parity mode: cpu = virtual 8-device mesh; "
+                    "default = the real chip (single-device mesh)")
+    ap.add_argument("--n-devices", type=int, default=8)
     args = ap.parse_args()
     if args.mode == "parity":
-        run_parity(args.n, args.block)
+        run_parity(args.n, args.block, n_devices=args.n_devices,
+                   device=args.device,
+                   engine=args.engine if args.device == "default" else None)
     elif args.mode == "oracle-check":
         run_oracle_check()
     else:

@@ -200,6 +200,53 @@ def _trace_dot(A, B_t):
     return jnp.sum(A.astype(jnp.float64) * B_t.astype(jnp.float64))
 
 
+def _streamed_level2_g(H, MF32, chunk):
+    """(tr G, |G|_F^2) for G = MF (I + H) MF^T - I without materializing
+    G, MF64, or E64 -- the level-2 sandwich of the robust logdet branch,
+    row-chunked so its emulated-f64 matmul temps stay bounded.
+
+    Two passes, both f64 for the same cancellation reason as the dense
+    form (G hides under the identity):
+      1. T = (I + H) MF^T one column-block at a time (lax.map);
+      2. G row-chunks MF[rc] @ T - I[rc] inside a scan that only carries
+         the two scalars.
+    Requires n % chunk == 0 (callers pick chunk = n/8).  Single-device
+    only: the f64 scan carry is fine there (sharded f64 loop operands
+    crash this TPU toolchain's HloReplicationAnalysis)."""
+    n = H.shape[0]
+    nb = n // chunk
+    hp = jax.lax.Precision.HIGHEST
+    H64 = H.astype(jnp.float64)
+    MFr = MF32.reshape(nb, chunk, n)
+
+    def _t_cols(mf_rows32):                       # (chunk, n) f32
+        mfc = mf_rows32.astype(jnp.float64).T     # (n, chunk)
+        return jnp.dot(H64, mfc, precision=hp) + mfc
+
+    Tb = jax.lax.map(_t_cols, MFr)                # (nb, n, chunk)
+    T = jnp.transpose(Tb, (1, 0, 2)).reshape(n, n)
+
+    def _g_rows(carry, xs):
+        g1, g2 = carry
+        i, mf_rows32 = xs
+        Gi = jnp.dot(mf_rows32.astype(jnp.float64), T, precision=hp)
+        r = jnp.arange(chunk)
+        eye_rows = (
+            jnp.arange(n)[None, :] == (i * chunk + r)[:, None]
+        ).astype(jnp.float64)
+        Gi = Gi - eye_rows
+        g1 = g1 + jnp.sum(Gi * eye_rows)
+        g2 = g2 + jnp.sum(Gi * Gi)
+        return (g1, g2), None
+
+    (g1, g2), _ = jax.lax.scan(
+        _g_rows,
+        (jnp.float64(0.0), jnp.float64(0.0)),
+        (jnp.arange(nb), MFr),
+    )
+    return g1, g2
+
+
 # R = K - L L^T in f64, returned f32 (triangular panels, ~n^3/3
 # emulated-f64 FLOPs); canonical definition shared with the dense
 # engine lives in ops/mixed.py.
@@ -267,11 +314,19 @@ def _mp_core(K, B, mesh, axis_name, block, n_refine):
             jnp.log(jnp.diagonal(L32_).astype(jnp.float64))
         )
         F32, MF32 = _plain_f32_tri_pair(jnp.eye(n, dtype=jnp.float32) + H_)
-        E64 = jnp.eye(n, dtype=jnp.float64) + H_.astype(jnp.float64)
-        MF64 = MF32.astype(jnp.float64)
-        G = MF64 @ (E64 @ MF64.T) - jnp.eye(n, dtype=jnp.float64)
-        g1 = jnp.trace(G)
-        g2 = jnp.sum(G * G)
+        if _single_device(mesh, axis_name) and n >= 12288 and n % 8 == 0:
+            # the dense sandwich's two emulated-f64 (n, n) matmuls cost
+            # ~16 GB of split-operand HLO temps at n=16384 (one batched
+            # f32[8,n,n] accumulator + two bf16[8,n,n] operand splits)
+            # -- THE round-2 single-chip OOM.  Streamed over row chunks
+            # the branch peaks at ~2 n^2 f64 + one chunk's split temps.
+            g1, g2 = _streamed_level2_g(H_, MF32, n // 8)
+        else:
+            E64 = jnp.eye(n, dtype=jnp.float64) + H_.astype(jnp.float64)
+            MF64 = MF32.astype(jnp.float64)
+            G = MF64 @ (E64 @ MF64.T) - jnp.eye(n, dtype=jnp.float64)
+            g1 = jnp.trace(G)
+            g2 = jnp.sum(G * G)
         ld2 = (base
                + 2.0 * jnp.sum(jnp.log(jnp.diagonal(F32).astype(jnp.float64)))
                + g1 - g2 / 2.0)
