@@ -4,7 +4,7 @@
 API parity with /root/reference/gpmp/dataloader.py:55-648.  TPU design
 notes:
 
-- Index bookkeeping (shard bounds, permutations, fold indices) is pure
+- Index bookkeeping (shard offsets, permutations, fold indices) is pure
   host-side NumPy -- dynamic shapes never reach a trace; the data shards
   themselves are device (jnp) arrays.
 - ``DataLoader.as_stacked_batches()`` bridges to the mesh layer: it
@@ -16,7 +16,6 @@ notes:
   dataloader.py:391-392; we avoid that side effect).
 """
 
-import bisect
 from typing import Iterator, List, Optional, Tuple, Union
 
 import numpy as np
@@ -26,6 +25,11 @@ import gpmp_tpu.num as gnp
 Array = gnp.ndarray
 ArrayOrList = Union[Array, List[Array]]
 _EPS = 1e-8
+
+
+def _as_shards(obj) -> List[Array]:
+    seq = obj if isinstance(obj, list) else [obj]
+    return [gnp.asarray(s) for s in seq]
 
 
 # ======================================================================
@@ -40,26 +44,27 @@ class Dataset:
     """
 
     def __init__(self, x: ArrayOrList, z: ArrayOrList) -> None:
-        self.x_list = x if isinstance(x, list) else [x]
-        self.z_list = z if isinstance(z, list) else [z]
-        self.x_list = [gnp.asarray(xi) for xi in self.x_list]
-        self.z_list = [gnp.asarray(zi) for zi in self.z_list]
+        self.x_list = _as_shards(x)
+        self.z_list = _as_shards(z)
 
-        assert len(self.x_list) == len(self.z_list), "x and z shard counts differ"
-        for xi, zi in zip(self.x_list, self.z_list):
-            assert xi.shape[0] == zi.shape[0], "shard length mismatch"
+        assert len(self.x_list) == len(self.z_list), \
+            "x and z shard counts differ"
+        for xs, zs in zip(self.x_list, self.z_list):
+            assert xs.shape[0] == zs.shape[0], "shard length mismatch"
 
-        self.size = sum(xi.shape[0] for xi in self.x_list)
-        self._shard_bounds = list(np.cumsum([xi.shape[0] for xi in self.x_list]))
+        counts = [s.shape[0] for s in self.x_list]
+        # offsets[k] = global index of shard k's first row;
+        # offsets[-1] = total size
+        self._offsets = np.concatenate([[0], np.cumsum(counts)])
+        self.size = int(self._offsets[-1])
 
     def __len__(self) -> int:
         return self.size
 
     def __getitem__(self, idx: int):
-        shard_idx = bisect.bisect_right(self._shard_bounds, idx)
-        start = 0 if shard_idx == 0 else self._shard_bounds[shard_idx - 1]
-        local = idx - start
-        return self.x_list[shard_idx][local], self.z_list[shard_idx][local]
+        k = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        j = idx - int(self._offsets[k])
+        return self.x_list[k][j], self.z_list[k][j]
 
     def __repr__(self) -> str:
         return (
@@ -69,23 +74,25 @@ class Dataset:
             f"z_shape={[tuple(z.shape) for z in self.z_list]})"
         )
 
+    def _gather(self, global_idx):
+        """Per-shard (x, z) selections for sorted-or-not global indices,
+        as two lists of arrays (empty selections skipped)."""
+        xs, zs = [], []
+        for k in range(len(self.x_list)):
+            lo, hi = int(self._offsets[k]), int(self._offsets[k + 1])
+            inside = global_idx[(global_idx >= lo) & (global_idx < hi)]
+            if inside.size:
+                xs.append(self.x_list[k][inside - lo])
+                zs.append(self.z_list[k][inside - lo])
+        return xs, zs
+
     # ------------------------------------------------------------- slicing
     def subset(self, indices) -> "Dataset":
         """Dataset restricted to indices; shard structure preserved."""
         indices = np.asarray(gnp.to_np(gnp.asarray(indices)))
         if indices.ndim != 1:
             raise ValueError("Subset indices must be 1D")
-        indices = np.sort(indices)
-        xs, zs = [], []
-        shard_starts = [0] + self._shard_bounds[:-1]
-        for shard_idx, (start, end) in enumerate(
-            zip(shard_starts, self._shard_bounds)
-        ):
-            mask = (indices >= start) & (indices < end)
-            if mask.any():
-                local = indices[mask] - start
-                xs.append(self.x_list[shard_idx][local])
-                zs.append(self.z_list[shard_idx][local])
+        xs, zs = self._gather(np.sort(indices))
         return Dataset(xs, zs)
 
     # ------------------------------------------------------------- split
@@ -93,34 +100,24 @@ class Dataset:
     def split(dataset, ratios=(0.8, 0.1, 0.1), seed: Optional[int] = None):
         """(train, val, test) random split according to ratios."""
         assert abs(sum(ratios) - 1.0) < 1e-9, "Ratios must sum to 1"
-        rng = np.random.default_rng(seed)
-        n = len(dataset)
-        idx = rng.permutation(n)
-        n_tr = int(ratios[0] * n)
-        n_va = int(ratios[1] * n)
-        return (
-            dataset.subset(idx[:n_tr]),
-            dataset.subset(idx[n_tr : n_tr + n_va]),
-            dataset.subset(idx[n_tr + n_va :]),
+        order = np.random.default_rng(seed).permutation(len(dataset))
+        cut1 = int(ratios[0] * order.size)
+        cut2 = cut1 + int(ratios[1] * order.size)
+        return tuple(
+            dataset.subset(part)
+            for part in (order[:cut1], order[cut1:cut2], order[cut2:])
         )
 
     @staticmethod
     def k_fold_indices(n_samples, n_splits, seed: Optional[int] = None):
         """k (train, val) index tuples covering all samples."""
-        rng = np.random.default_rng(seed)
-        idx = rng.permutation(n_samples)
-        base, r = divmod(n_samples, n_splits)
-        sizes = np.concatenate(
-            [np.full(r, base + 1, dtype=int), np.full(n_splits - r, base, dtype=int)]
-        )
-        bounds = np.cumsum(sizes)[:-1]
-        folds = np.split(idx, bounds)
-        out = []
-        for k in range(n_splits):
-            val = folds[k]
-            train = np.concatenate([folds[j] for j in range(n_splits) if j != k])
-            out.append((train, val))
-        return out
+        order = np.random.default_rng(seed).permutation(n_samples)
+        # first (n_samples mod k) folds get one extra sample
+        folds = np.array_split(order, n_splits)
+        return [
+            (np.concatenate(folds[:k] + folds[k + 1:]), folds[k])
+            for k in range(n_splits)
+        ]
 
     @staticmethod
     def repeated_k_fold_indices(n_samples, n_splits, n_repeats,
@@ -134,40 +131,39 @@ class Dataset:
         return out
 
     # ----------------------------------------------- streaming reductions
+    # Each statistic is a fold over shards (never concatenates device
+    # memory), except the exact quantiles, which need the full sample.
+    def _fold(self, shards, shard_stat, combine):
+        acc = None
+        for s in shards:
+            piece = shard_stat(s)
+            acc = piece if acc is None else combine(acc, piece)
+        return acc
+
+    def _shards(self, x_or_z):
+        return self.x_list if x_or_z == "x" else self.z_list
+
     def _reduce_min(self, x_or_z):
-        lst = getattr(self, f"{x_or_z}_list")
-        out = None
-        for data in lst:
-            m = gnp.min(data, axis=0)
-            out = m if out is None else gnp.minimum(out, m)
-        return out
+        return self._fold(self._shards(x_or_z),
+                          lambda s: gnp.min(s, axis=0), gnp.minimum)
 
     def _reduce_max(self, x_or_z):
-        lst = getattr(self, f"{x_or_z}_list")
-        out = None
-        for data in lst:
-            m = gnp.max(data, axis=0)
-            out = m if out is None else gnp.maximum(out, m)
-        return out
+        return self._fold(self._shards(x_or_z),
+                          lambda s: gnp.max(s, axis=0), gnp.maximum)
 
     def _reduce_mean(self, x_or_z):
-        lst = getattr(self, f"{x_or_z}_list")
-        total, n = None, 0
-        for data in lst:
-            s = gnp.sum(data, axis=0)
-            total = s if total is None else total + s
-            n += data.shape[0]
-        return total / n
+        shards = self._shards(x_or_z)
+        total = self._fold(shards, lambda s: gnp.sum(s, axis=0),
+                           lambda a, b: a + b)
+        return total / self.size
 
     def _reduce_var(self, x_or_z):
-        mean = self._reduce_mean(x_or_z)
-        lst = getattr(self, f"{x_or_z}_list")
-        total, n = None, 0
-        for data in lst:
-            s = gnp.sum((data - mean) ** 2, axis=0)
-            total = s if total is None else total + s
-            n += data.shape[0]
-        return total / (n - 1)
+        center = self._reduce_mean(x_or_z)
+        shards = self._shards(x_or_z)
+        ss = self._fold(shards,
+                        lambda s: gnp.sum((s - center) ** 2, axis=0),
+                        lambda a, b: a + b)
+        return ss / (self.size - 1)
 
     def _reduce_std(self, x_or_z):
         return gnp.sqrt(self._reduce_var(x_or_z))
@@ -175,40 +171,43 @@ class Dataset:
     def _reduce_quantile(self, x_or_z, q):
         if not (0.0 <= q <= 1.0):
             raise ValueError("quantile level q must be between 0 and 1")
-        lst = getattr(self, f"{x_or_z}_list")
-        data_full = gnp.concatenate(lst, axis=0)
-        return gnp.percentile(data_full, q * 100.0, axis=0)
+        full = gnp.concatenate(self._shards(x_or_z), axis=0)
+        return gnp.percentile(full, q * 100.0, axis=0)
 
     def _reduce_quantile_approx(self, x_or_z, q, sample_size=1000):
         if not (0.0 <= q <= 1.0):
             raise ValueError("quantile level q must be between 0 and 1")
-        lst = getattr(self, f"{x_or_z}_list")
+        shards = self._shards(x_or_z)
         rng = np.random.default_rng(0)
-        subsamples = []
-        for data in lst:
-            n = data.shape[0]
-            k = min(n, max(1, sample_size // len(lst)))
-            idx = rng.choice(n, k, replace=False)
-            subsamples.append(data[idx])
-        sample = gnp.concatenate(subsamples, axis=0)
-        return gnp.percentile(sample, q * 100.0, axis=0)
+        per_shard = max(1, sample_size // len(shards))
+        picks = [
+            s[rng.choice(s.shape[0], min(s.shape[0], per_shard),
+                         replace=False)]
+            for s in shards
+        ]
+        return gnp.percentile(gnp.concatenate(picks, axis=0),
+                              q * 100.0, axis=0)
 
     def _reduce_median(self, x_or_z):
         return self._reduce_quantile(x_or_z, 0.5)
 
 
 # auto-generate x_*/z_* reduction methods (x_min ... z_median)
-for _field in ("x", "z"):
-    for _stat in ("min", "max", "mean", "var", "std", "quantile", "median"):
+def _install_reducers():
+    def bind(field, stat):
+        def method(self, *args, **kwargs):
+            return getattr(self, f"_reduce_{stat}")(field, *args, **kwargs)
 
-        def _make_method(field=_field, stat=_stat):
-            def method(self, *args, **kwargs):
-                return getattr(self, f"_reduce_{stat}")(field, *args, **kwargs)
+        method.__name__ = f"{field}_{stat}"
+        return method
 
-            method.__name__ = f"{field}_{stat}"
-            return method
+    for field in ("x", "z"):
+        for stat in ("min", "max", "mean", "var", "std",
+                     "quantile", "median"):
+            setattr(Dataset, f"{field}_{stat}", bind(field, stat))
 
-        setattr(Dataset, f"{_field}_{_stat}", _make_method())
+
+_install_reducers()
 
 
 # ======================================================================
@@ -239,43 +238,34 @@ class DataLoader:
         """Set the epoch used for deterministic shuffling."""
         self._epoch = epoch
 
+    def _epoch_order(self) -> np.ndarray:
+        seed = (None if self._base_seed is None
+                else self._base_seed + self._epoch)
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        return np.random.default_rng(seed).permutation(n)
+
     def __iter__(self) -> Iterator[Tuple[Array, Array]]:
         while True:
-            if self._base_seed is not None:
-                rng = np.random.default_rng(self._base_seed + self._epoch)
-            else:
-                rng = np.random.default_rng()
-
-            n = len(self.dataset)
-            idx = rng.permutation(n) if self.shuffle else np.arange(n)
-
-            for start in range(0, n, self.batch_size):
-                end = start + self.batch_size
-                if end > n and self.drop_last:
-                    break
-                yield self._fetch_batch(idx[start:end])
-
+            order = self._epoch_order()
+            n = order.size
+            stop = (n - n % self.batch_size) if self.drop_last else n
+            for lo in range(0, stop, self.batch_size):
+                yield self._fetch_batch(order[lo : lo + self.batch_size])
             self._epoch += 1
             if not self._infinite:
-                break
+                return
 
     def _fetch_batch(self, batch_idx):
-        xs, zs = [], []
-        shard_starts = [0] + self.dataset._shard_bounds[:-1]
-        for shard_idx, (start, end) in enumerate(
-            zip(shard_starts, self.dataset._shard_bounds)
-        ):
-            mask = (batch_idx >= start) & (batch_idx < end)
-            if mask.any():
-                local = batch_idx[mask] - start
-                xs.append(self.dataset.x_list[shard_idx][local])
-                zs.append(self.dataset.z_list[shard_idx][local])
+        xs, zs = self.dataset._gather(batch_idx)
         return gnp.concatenate(xs, 0), gnp.concatenate(zs, 0)
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        full = n // self.batch_size
-        return full if (self.drop_last or n % self.batch_size == 0) else full + 1
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)  # ceil
 
     def __getitem__(self, index):
         if self.shuffle or self._infinite:
@@ -283,17 +273,17 @@ class DataLoader:
                 "Batch indexing requires shuffle=False and infinite=False."
             )
         n_batches = len(self)
-        if isinstance(index, int):
-            if index < 0:
-                index += n_batches
-            if not (0 <= index < n_batches):
-                raise IndexError("Batch index out of range")
-            start = index * self.batch_size
-            end = min(start + self.batch_size, len(self.dataset))
-            return self._fetch_batch(np.arange(start, end))
         if isinstance(index, slice):
             return [self[i] for i in range(*index.indices(n_batches))]
-        raise TypeError("Index must be int or slice")
+        if not isinstance(index, int):
+            raise TypeError("Index must be int or slice")
+        if index < 0:
+            index += n_batches
+        if index < 0 or index >= n_batches:
+            raise IndexError("Batch index out of range")
+        lo = index * self.batch_size
+        hi = min(lo + self.batch_size, len(self.dataset))
+        return self._fetch_batch(np.arange(lo, hi))
 
     def __repr__(self) -> str:
         return (
@@ -304,13 +294,13 @@ class DataLoader:
 
     def reduce_mean(self, func):
         """Batch-size-weighted mean of func(x_batch, z_batch) over batches."""
-        total, total_weight = None, 0
-        for x_batch, z_batch in self:
-            bs = x_batch.shape[0]
-            value = func(x_batch, z_batch) * bs
-            total = value if total is None else total + value
-            total_weight += bs
-        return total / total_weight
+        total, count = None, 0
+        for xb, zb in self:
+            w = xb.shape[0]
+            term = func(xb, zb) * w
+            total = term if total is None else total + term
+            count += w
+        return total / count
 
     # ------------------------------------------------- TPU bridge
     def as_stacked_batches(self, mesh=None, axis_name="batch"):
@@ -325,84 +315,86 @@ class DataLoader:
         return shard_batches(x, z, n_batches, mesh=mesh, axis_name=axis_name)
 
 
-# ======================================================================
-# Scalers
-# ======================================================================
 # auto-generate DataLoader.dataset_{x,z}_{stat} properties forwarding to
 # the underlying Dataset's reduction methods (reference dataloader.py:
 # 516-532): the property value is the dataset's bound method.
-for _stat in ("min", "max", "mean", "var", "std", "quantile", "median"):
-    for _field in ("x", "z"):
-        _method_name = f"{_field}_{_stat}"
+def _install_forwarders():
+    def bind(method_name):
+        return property(lambda self: getattr(self.dataset, method_name))
 
-        def _make_property(method_name=_method_name):
-            @property
-            def prop(self):
-                return getattr(self.dataset, method_name)
-
-            return prop
-
-        setattr(DataLoader, f"dataset_{_field}_{_stat}",
-                _make_property())
+    for field in ("x", "z"):
+        for stat in ("min", "max", "mean", "var", "std",
+                     "quantile", "median"):
+            setattr(DataLoader, f"dataset_{field}_{stat}",
+                    bind(f"{field}_{stat}"))
 
 
-class Normalizer:
+_install_forwarders()
+
+
+# ======================================================================
+# Scalers
+# ======================================================================
+class _AffineScaler:
+    """Shared affine transform core: (x - shift) / spread."""
+
+    def __init__(self, shift, spread):
+        self.shift = shift
+        self.spread = gnp.where(spread < _EPS, 1.0, spread)
+
+    def transform(self, x, copy=True):
+        return (x - self.shift) / self.spread
+
+    def inverse_transform(self, y, copy=True):
+        return y * self.spread + self.shift
+
+
+class Normalizer(_AffineScaler):
     """Standardize covariates to zero mean / unit variance."""
 
     def __init__(self, mean, std):
-        self.mean = mean
-        self.std = gnp.where(std < _EPS, 1.0, std)
+        super().__init__(mean, std)
 
-    def transform(self, x, copy=True):
-        return (x - self.mean) / self.std
-
-    def inverse_transform(self, x_std, copy=True):
-        return x_std * self.std + self.mean
+    mean = property(lambda self: self.shift)
+    std = property(lambda self: self.spread)
 
     @staticmethod
     def fit(x):
-        return Normalizer(x.mean(axis=0, keepdims=True), x.std(axis=0, keepdims=True))
+        return Normalizer(x.mean(axis=0, keepdims=True),
+                          x.std(axis=0, keepdims=True))
 
 
-class RobustScaler:
+class RobustScaler(_AffineScaler):
     """Scale covariates by median and interquartile range."""
 
     def __init__(self, median, iqr):
-        self.median = median
-        self.iqr = gnp.where(iqr < _EPS, 1.0, iqr)
+        super().__init__(median, iqr)
 
-    def transform(self, x, copy=True):
-        return (x - self.median) / self.iqr
-
-    def inverse_transform(self, x_rb, copy=True):
-        return x_rb * self.iqr + self.median
+    median = property(lambda self: self.shift)
+    iqr = property(lambda self: self.spread)
 
     @staticmethod
     def fit(x, q_low=25.0, q_high=75.0):
-        ql = gnp.percentile(x, q_low, axis=0, keepdims=True)
-        qh = gnp.percentile(x, q_high, axis=0, keepdims=True)
-        median = gnp.percentile(x, 50.0, axis=0, keepdims=True)
-        return RobustScaler(median, qh - ql)
+        levels = [
+            gnp.percentile(x, q, axis=0, keepdims=True)
+            for q in (q_low, 50.0, q_high)
+        ]
+        return RobustScaler(levels[1], levels[2] - levels[0])
 
 
-class MinMaxScaler:
+class MinMaxScaler(_AffineScaler):
     """Rescale covariates to [0, 1]."""
 
     def __init__(self, x_min, x_max):
-        self.x_min = x_min
-        self.range = gnp.where((x_max - x_min) < _EPS, 1.0, x_max - x_min)
+        super().__init__(x_min, x_max - x_min)
 
-    def transform(self, x, copy=True):
-        return (x - self.x_min) / self.range
-
-    def inverse_transform(self, x_mm, copy=True):
-        return x_mm * self.range + self.x_min
+    x_min = property(lambda self: self.shift)
+    range = property(lambda self: self.spread)
 
     @staticmethod
     def fit(x):
-        return MinMaxScaler(
-            gnp.min(x, axis=0, keepdims=True), gnp.max(x, axis=0, keepdims=True)
-        )
+        return MinMaxScaler(gnp.min(x, axis=0, keepdims=True),
+                            gnp.max(x, axis=0, keepdims=True))
 
 
 class ObservationScaler:

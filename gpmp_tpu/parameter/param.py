@@ -21,19 +21,36 @@ class Normalization(Enum):
     NONE = "none"
 
 
+# internal-scale transform and its inverse, keyed by normalization
+_FWD = {
+    Normalization.LOG: np.log,
+    Normalization.LOG_INV: lambda v: -np.log(v),
+    Normalization.NONE: lambda v: v,
+}
+_INV = {
+    Normalization.LOG: np.exp,
+    Normalization.LOG_INV: lambda v: np.exp(-v),
+    Normalization.NONE: lambda v: v,
+}
+
+
 def _parse_one(norm) -> Normalization:
     if isinstance(norm, Normalization):
         return norm
     if isinstance(norm, str):
-        n = norm.lower()
-        if n == "log":
-            return Normalization.LOG
-        if n == "log_inv":
-            return Normalization.LOG_INV
-        if n == "none":
-            return Normalization.NONE
-        raise ValueError(f"Unknown normalization: {norm}")
+        try:
+            return Normalization(norm.lower())
+        except ValueError:
+            raise ValueError(f"Unknown normalization: {norm}") from None
     raise TypeError("Normalization must be a str or Normalization enum.")
+
+
+def _match_indices(paths, query, prefix_match):
+    """Positions whose path equals `query` (or starts with it)."""
+    if prefix_match:
+        k = len(query)
+        return [i for i, p in enumerate(paths) if p[:k] == query]
+    return [i for i, p in enumerate(paths) if p == query]
 
 
 class Param:
@@ -46,34 +63,34 @@ class Param:
     def __init__(self, values=None, paths=None, normalizations=None, names=None,
                  bounds=None, name_prefix="param_", dim=None):
         if values is None:
-            self._values = np.zeros(0 if dim is None else dim)
+            self._values = np.zeros(dim or 0)
         else:
             self._values = np.asarray(values, dtype=float).reshape(-1).copy()
-        self.dim = len(self._values)
+        k = self._values.size
+        self.dim = k
+        # per-entry metadata: plain mutable lists (report.py and user
+        # code assign into them in place)
         self.paths: List[List[str]] = (
-            paths if paths is not None else [["param"] for _ in range(self.dim)]
+            [["param"] for _ in range(k)] if paths is None else paths
         )
-        self.names: List[str] = (
-            names if names is not None
-            else [f"{name_prefix}{i}" for i in range(self.dim)]
-        )
+        if names is None:
+            names = [name_prefix + str(i) for i in range(k)]
+        self.names: List[str] = names
         if normalizations is None:
-            self.normalizations = [Normalization.NONE] * self.dim
+            self.normalizations = [Normalization.NONE for _ in range(k)]
         else:
-            self.normalizations = [_parse_one(n) for n in normalizations]
+            self.normalizations = [_parse_one(x) for x in normalizations]
         self.bounds: List[Optional[Tuple[float, float]]] = (
-            bounds if bounds is not None else [None] * self.dim
+            [None] * k if bounds is None else bounds
         )
         self._check_consistency()
 
     def _check_consistency(self):
-        if not (
-            len(self.paths)
-            == len(self.names)
-            == len(self.normalizations)
-            == len(self.bounds)
-            == self.dim
-        ):
+        lengths = {
+            len(self.paths), len(self.names),
+            len(self.normalizations), len(self.bounds), self.dim,
+        }
+        if len(lengths) != 1:
             raise ValueError(
                 "All parameter fields must have the same length as the "
                 "number of parameters."
@@ -87,40 +104,30 @@ class Param:
     @values.setter
     def values(self, new_values):
         self._values = np.asarray(new_values, dtype=float).reshape(-1).copy()
-        self.dim = len(self._values)
+        self.dim = self._values.size
 
     @staticmethod
     def _normalize(value, normalization):
-        if normalization == Normalization.LOG:
-            return np.log(value)
-        if normalization == Normalization.LOG_INV:
-            return -np.log(value)
-        return value
+        return _FWD[normalization](value)
 
     @staticmethod
     def _denormalize(value, normalization):
-        if normalization == Normalization.LOG:
-            return np.exp(value)
-        if normalization == Normalization.LOG_INV:
-            return np.exp(-value)
-        return value
+        return _INV[normalization](value)
 
     @property
     def denormalized_values(self) -> np.ndarray:
-        return np.array(
-            [
-                self._denormalize(v, n)
-                for v, n in zip(self._values, self.normalizations)
-            ]
-        )
+        out = np.empty(self.dim)
+        for i, norm in enumerate(self.normalizations):
+            out[i] = _INV[norm](self._values[i])
+        return out
 
     @denormalized_values.setter
     def denormalized_values(self, new_values):
         new_values = np.asarray(new_values, dtype=float)
-        if len(new_values) != self.dim:
+        if new_values.size != self.dim:
             raise ValueError("Mismatch in size for denormalized values.")
         self._values = np.array(
-            [self._normalize(v, n) for v, n in zip(new_values, self.normalizations)]
+            [_FWD[norm](v) for norm, v in zip(self.normalizations, new_values)]
         )
 
     # ------------------------------------------------------------ accessors
@@ -128,73 +135,77 @@ class Param:
         """All unique paths, or those matching a prefix."""
         if prefix is None:
             return list({tuple(p) for p in self.paths})
-        return [p for p in self.paths if p[: len(prefix)] == prefix]
+        return [self.paths[i]
+                for i in _match_indices(self.paths, prefix, True)]
 
     def indices_by_path_prefix(self, prefix):
-        return [i for i, p in enumerate(self.paths) if p[: len(prefix)] == prefix]
+        return _match_indices(self.paths, prefix, True)
 
     def names_by_path_prefix(self, prefix):
-        return [self.names[i] for i in self.indices_by_path_prefix(prefix)]
+        return [self.names[i] for i in _match_indices(self.paths, prefix, True)]
 
     def select_by_path_prefix(self, prefix, return_view=False):
         return self.get_by_path(prefix, prefix_match=True, return_view=return_view)
 
     def get_by_name(self, name, return_view=False):
-        idx = self.names.index(name)
-        return self._values[idx : idx + 1] if return_view else self._values[idx]
+        i = self.names.index(name)
+        if return_view:
+            return self._values[i : i + 1]
+        return self._values[i]
 
     def set_by_name(self, name, new_value):
         self._values[self.names.index(name)] = new_value
 
     def get_by_path(self, path, prefix_match=False, return_view=False):
-        if prefix_match:
-            indices = [i for i, p in enumerate(self.paths) if p[: len(path)] == path]
-        else:
-            indices = [i for i, p in enumerate(self.paths) if p == path]
-        idx = np.asarray(indices, dtype=int)
-        if return_view:
-            if not np.all(np.diff(idx) == 1):
-                raise ValueError(
-                    "Requested path does not map to a contiguous block -- "
-                    "cannot return view."
-                )
-            return self._values[idx[0] : idx[-1] + 1]
-        return self._values[idx].copy()
+        idx = np.asarray(_match_indices(self.paths, path, prefix_match),
+                         dtype=int)
+        if not return_view:
+            return self._values[idx].copy()
+        if idx.size and not np.array_equal(
+            idx, np.arange(idx[0], idx[0] + idx.size)
+        ):
+            raise ValueError(
+                "Requested path does not map to a contiguous block -- "
+                "cannot return view."
+            )
+        return self._values[idx[0] : idx[-1] + 1]
 
     def set_by_path(self, path, new_values, prefix_match=False):
-        if prefix_match:
-            indices = [i for i, p in enumerate(self.paths) if p[: len(path)] == path]
-        else:
-            indices = [i for i, p in enumerate(self.paths) if p == path]
-        if len(indices) != len(new_values):
-            raise ValueError(f"Expected {len(indices)} values, got {len(new_values)}.")
-        for i, v in zip(indices, new_values):
-            self._values[i] = v
+        idx = _match_indices(self.paths, path, prefix_match)
+        if len(idx) != len(new_values):
+            raise ValueError(
+                f"Expected {len(idx)} values, got {len(new_values)}."
+            )
+        self._values[np.asarray(idx, dtype=int)] = np.asarray(
+            new_values, dtype=float
+        )
 
     def set_from_unnormalized(self, **kwargs):
         for name, val in kwargs.items():
-            idx = self.names.index(name)
-            self._values[idx] = self._normalize(val, self.normalizations[idx])
+            i = self.names.index(name)
+            self._values[i] = _FWD[self.normalizations[i]](val)
 
     def check_bounds(self):
         """Per-entry bound satisfaction on denormalized values."""
-        return [
-            True if b is None else bool(b[0] <= v <= b[1])
-            for v, b in zip(self.denormalized_values, self.bounds)
-        ]
+        dv = self.denormalized_values
+        out = []
+        for i, b in enumerate(self.bounds):
+            out.append(True if b is None else bool(b[0] <= dv[i] <= b[1]))
+        return out
 
     # ------------------------------------------------------------- algebra
     def __getitem__(self, index):
-        if isinstance(index, int):
-            index = [index]
-        elif isinstance(index, slice):
-            index = list(range(self.dim))[index]
+        if isinstance(index, slice):
+            index = range(self.dim)[index]
+        elif isinstance(index, int):
+            index = (index,)
+        pick = lambda field: [field[i] for i in index]
         return Param(
-            values=self._values[index],
-            paths=[self.paths[i] for i in index],
-            normalizations=[self.normalizations[i] for i in index],
-            names=[self.names[i] for i in index],
-            bounds=[self.bounds[i] for i in index],
+            values=self._values[list(index)],
+            paths=pick(self.paths),
+            normalizations=pick(self.normalizations),
+            names=pick(self.names),
+            bounds=pick(self.bounds),
         )
 
     def __add__(self, other):
@@ -202,59 +213,74 @@ class Param:
 
     @staticmethod
     def concat(*params):
+        def chained(field):
+            out = []
+            for p in params:
+                out.extend(getattr(p, field))
+            return out
+
         return Param(
             np.concatenate([p.values for p in params]),
-            sum((p.paths for p in params), []),
-            sum((p.normalizations for p in params), []),
-            sum((p.names for p in params), []),
-            sum((p.bounds for p in params), []),
+            chained("paths"),
+            chained("normalizations"),
+            chained("names"),
+            chained("bounds"),
         )
 
     # ------------------------------------------------------------- export
     def to_dict(self) -> Dict[str, Dict[str, Any]]:
         dv = self.denormalized_values
-        return {
-            self.names[i]: {
+        out = {}
+        for i, name in enumerate(self.names):
+            out[name] = {
                 "value": self._values[i],
                 "path": self.paths[i],
                 "normalization": self.normalizations[i].value,
                 "denormalized": dv[i],
                 "bounds": self.bounds[i],
             }
-            for i in range(self.dim)
-        }
+        return out
 
     def to_simple_dict(self) -> dict:
         return dict(zip(self.names, self.denormalized_values))
 
     def __repr__(self) -> str:
-        raw = []
+        header = ("Name:", "Path", "Norm", "Bounds", "Value", "Denorm")
         dv = self.denormalized_values
+        rows = []
         for i in range(self.dim):
-            raw.append(
-                (
-                    self.names[i] + ":",
-                    "->".join(self.paths[i]),
-                    self.normalizations[i].value,
-                    (
-                        f"[{self.bounds[i][0]:.4g}, {self.bounds[i][1]:.4g}]"
-                        if self.bounds[i]
-                        else "(-inf, inf)"
-                    ),
-                    ftos(self._values[i]),
-                    ftos(dv[i]),
-                )
-            )
-        headers = ("Name:", "Path", "Norm", "Bounds", "Value", "Denorm")
-        cols = list(zip(*raw)) if raw else [[]] * 6
+            b = self.bounds[i]
+            rows.append((
+                self.names[i] + ":",
+                "->".join(self.paths[i]),
+                self.normalizations[i].value,
+                "(-inf, inf)" if b is None
+                else f"[{b[0]:.4g}, {b[1]:.4g}]",
+                ftos(self._values[i]),
+                ftos(dv[i]),
+            ))
         widths = [
-            max(len(h), max((len(v) for v in col), default=0))
-            for h, col in zip(headers, cols)
+            max(len(h), *(len(r[j]) for r in rows)) if rows else len(h)
+            for j, h in enumerate(header)
         ]
-        lines = ["    ".join(h.rjust(w) for h, w in zip(headers, widths))]
-        for row in raw:
-            lines.append("    ".join(v.rjust(w) for v, w in zip(row, widths)))
-        return "\n".join(lines)
+
+        def fmt(row):
+            return "    ".join(c.rjust(w) for c, w in zip(row, widths))
+
+        return "\n".join([fmt(header)] + [fmt(r) for r in rows])
+
+
+def _aniso_fields(d, name_prefix, head_names, head_norms, head_bounds,
+                  loginvrho_bounds):
+    """names/paths/normalizations/bounds for [head..., rho_0..rho_{d-1}]
+    anisotropic layouts (head = variance-like log-scale entries)."""
+    names = [name_prefix + nm for nm in head_names]
+    names += [f"{name_prefix}rho_{i}" for i in range(d)]
+    paths = [["covparam", "variance"]] * len(head_names)
+    paths += [["covparam", "lengthscale"]] * d
+    norms = list(head_norms) + [Normalization.LOG_INV] * d
+    bnds = list(head_bounds) + [loginvrho_bounds] * d
+    return dict(names=names, paths=paths, normalizations=norms, bounds=bnds)
 
 
 def make_anisotropic_param(d=None, values=None, logsigma2_bounds=None,
@@ -263,30 +289,24 @@ def make_anisotropic_param(d=None, values=None, logsigma2_bounds=None,
     with [log, log_inv, ...] normalization."""
     if values is not None:
         values = np.asarray(values, dtype=float)
-        d = len(values) - 1
+        d = values.size - 1
     elif d is not None:
-        values = np.array([0.0] + [-1.0] * d)
+        values = np.concatenate([[0.0], np.full(d, -1.0)])
     else:
         raise ValueError("Must provide either `values` or `d`.")
-    names = [f"{name_prefix}sigma2"] + [f"{name_prefix}rho_{i}" for i in range(d)]
-    paths = [["covparam", "variance"]] + [["covparam", "lengthscale"]] * d
-    normalizations = [Normalization.LOG] + [Normalization.LOG_INV] * d
-    bounds = [logsigma2_bounds] + [loginvrho_bounds] * d
-    return Param(values=values, names=names, paths=paths,
-                 normalizations=normalizations, bounds=bounds)
+    fields = _aniso_fields(d, name_prefix, ["sigma2"], [Normalization.LOG],
+                           [logsigma2_bounds], loginvrho_bounds)
+    return Param(values=values, **fields)
 
 
 def param_from_covparam_anisotropic(covparam, logsigma2_bounds=None,
                                     loginvrho_bounds=None, name_prefix=""):
     """Param view of a plain covparam = [log sigma2, loginvrho...] vector."""
     covparam = np.asarray(covparam, dtype=float)
-    d = len(covparam) - 1
-    names = [f"{name_prefix}sigma2"] + [f"{name_prefix}rho_{i}" for i in range(d)]
-    paths = [["covparam", "variance"]] + [["covparam", "lengthscale"]] * d
-    normalizations = [Normalization.LOG] + [Normalization.LOG_INV] * d
-    bounds = [logsigma2_bounds] + [loginvrho_bounds] * d
-    return Param(values=covparam, paths=paths, normalizations=normalizations,
-                 names=names, bounds=bounds)
+    fields = _aniso_fields(covparam.size - 1, name_prefix, ["sigma2"],
+                           [Normalization.LOG], [logsigma2_bounds],
+                           loginvrho_bounds)
+    return Param(values=covparam, **fields)
 
 
 def param_from_covparam_anisotropic_noisy(covparam, logsigma2_bounds=None,
@@ -294,18 +314,9 @@ def param_from_covparam_anisotropic_noisy(covparam, logsigma2_bounds=None,
                                           loginvrho_bounds=None, name_prefix=""):
     """Param view for noisy models: [sigma2, sigma2_noise, rho...]."""
     covparam = np.asarray(covparam, dtype=float)
-    d = len(covparam) - 2
-    names = (
-        [f"{name_prefix}sigma2", f"{name_prefix}sigma2_noise"]
-        + [f"{name_prefix}rho_{i}" for i in range(d)]
-    )
-    paths = (
-        [["covparam", "variance"], ["covparam", "variance"]]
-        + [["covparam", "lengthscale"]] * d
-    )
-    normalizations = (
-        [Normalization.LOG, Normalization.LOG] + [Normalization.LOG_INV] * d
-    )
-    bounds = [logsigma2_bounds, logsigma2_noise_bounds] + [loginvrho_bounds] * d
-    return Param(values=covparam, paths=paths, normalizations=normalizations,
-                 names=names, bounds=bounds)
+    fields = _aniso_fields(covparam.size - 2, name_prefix,
+                           ["sigma2", "sigma2_noise"],
+                           [Normalization.LOG, Normalization.LOG],
+                           [logsigma2_bounds, logsigma2_noise_bounds],
+                           loginvrho_bounds)
+    return Param(values=covparam, **fields)
