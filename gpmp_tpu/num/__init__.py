@@ -65,7 +65,12 @@ if _cache_spec != "0" and not _user_cache:
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERYTHING, including sub-second op-by-op dispatch
+        # programs: on remote/tunneled backends each tiny eager op costs
+        # a ~0.4 s server compile round-trip, and a first fit dispatches
+        # ~40 of them -- cached they re-load in ~40 ms (measured; this
+        # alone is ~18 s of first-fit wall-clock on the TPU tunnel)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         # the XLA-internal AOT sub-caches mis-detect host features when
         # entries cross processes with different platform lists and
         # warn loudly; the jax-level executable cache is the win here
