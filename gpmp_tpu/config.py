@@ -75,6 +75,12 @@ def init_backend() -> str:
     return "jax"
 
 
+def get_backend() -> str:
+    """Return the current backend name (reference config.py:206-208;
+    always 'jax' here -- this framework is single-backend)."""
+    return _config.backend or init_backend()
+
+
 def set_backend(name: str) -> None:
     if name not in ("jax",):
         raise ValueError(

@@ -861,3 +861,123 @@ def _is_linalg_exception(exc: Exception) -> bool:
     msg = str(exc).lower()
     keywords = ("singular", "cholesky", "not positive definite", "linalg", "lapack")
     return builtins.any(k in msg for k in keywords)
+
+
+# ----------------------------------------------------------------------------
+# torch-backend API-parity shims.  The gnp contract is the union of the
+# reference's two backend namespaces (SURVEY 2.1); these are the
+# torch-only symbols user code may touch (torch_backend.py:62-64,
+# 115-116, 282-294, 375-383, 783-789).
+# ----------------------------------------------------------------------------
+TensorLike = Union[jax.Array, float, int]
+
+tensor = asarray
+
+
+def is_tensor(x) -> bool:
+    """True for device arrays (torch.is_tensor parity)."""
+    return isinstance(x, jax.Array)
+
+
+def det(A):
+    """Determinant via the sign-tracking QR slogdet (LU-free)."""
+    sign, logabs = slogdet(A)
+    return sign * jnp.exp(logabs)
+
+
+def custom_sqrt(x):
+    """Zero-safe sqrt: value 0 AND derivative 0 at x == 0, so autodiff
+    through coincident-point distances stays finite (reference
+    torch_backend.py:783-789 semantics)."""
+    return _safe_sqrt(asarray(x))
+
+
+def scalar_safe(f):
+    """Wrap f so scalar / list / numpy inputs are converted once
+    (reference torch_backend.py:282-294; jnp ops mostly do this already,
+    kept for API parity with user code that decorates its own fns)."""
+
+    def f_(x):
+        return f(asarray(x))
+
+    return f_
+
+
+def axis_to_dim(f):
+    """Identity adapter: jax.numpy reductions take ``axis`` natively;
+    the torch backend needed an axis->dim translation
+    (torch_backend.py:375-383)."""
+    return f
+
+
+class Normal:
+    """Minimal torch.distributions.Normal-parity wrapper over the
+    ``normal`` namespace (reference torch_backend.py:116)."""
+
+    def __init__(self, loc, scale):
+        # jnp.asarray (not the list-promoting asarray): torch keeps
+        # scalar loc/scale 0-d, so sample((3,)) has shape (3,)
+        self.loc = jnp.asarray(loc, dtype=_dtype)
+        self.scale = jnp.asarray(scale, dtype=_dtype)
+
+    @property
+    def mean(self):
+        return self.loc
+
+    @property
+    def stddev(self):
+        return self.scale
+
+    @property
+    def variance(self):
+        return self.scale**2
+
+    def log_prob(self, x):
+        # jnp.asarray keeps python scalars 0-d, as torch does
+        return normal.logpdf(jnp.asarray(x, dtype=_dtype), self.loc, self.scale)
+
+    def cdf(self, x):
+        return normal.cdf(jnp.asarray(x, dtype=_dtype), self.loc, self.scale)
+
+    def icdf(self, q):
+        return normal.ppf(jnp.asarray(q, dtype=_dtype), self.loc, self.scale)
+
+    def sample(self, sample_shape=()):
+        shape = tuple(sample_shape) + jnp.broadcast_shapes(
+            self.loc.shape, self.scale.shape
+        )
+        return self.loc + self.scale * jax.random.normal(
+            next_key(), shape, dtype=_dtype
+        )
+
+    rsample = sample
+
+
+class MultivariateNormal:
+    """Minimal torch.distributions.MultivariateNormal-parity wrapper
+    (reference torch_backend.py:115)."""
+
+    def __init__(self, loc, covariance_matrix):
+        self.loc = jnp.atleast_1d(jnp.asarray(loc, dtype=_dtype))
+        self.covariance_matrix = jnp.asarray(covariance_matrix, dtype=_dtype)
+
+    @property
+    def mean(self):
+        return self.loc
+
+    def log_prob(self, x):
+        return multivariate_normal.logpdf(
+            asarray(x), self.loc, self.covariance_matrix
+        )
+
+    def sample(self, sample_shape=()):
+        return jax.random.multivariate_normal(
+            next_key(),
+            self.loc,
+            self.covariance_matrix,
+            shape=tuple(sample_shape),
+            dtype=_dtype,
+            method="svd",
+        )
+
+    rsample = sample

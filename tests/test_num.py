@@ -199,3 +199,87 @@ def test_multivariate_normal_logpdf():
     lp = gnp.multivariate_normal.logpdf(x, mean=np.zeros(3), cov=cov)
     lp_ref = scipy.stats.multivariate_normal.logpdf(x, mean=np.zeros(3), cov=cov)
     np.testing.assert_allclose(float(lp), lp_ref, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# torch-backend API-parity shims (reference torch_backend.py:62-64, 115-116,
+# 282-294, 375-383, 783-789)
+# ---------------------------------------------------------------------------
+def test_det_matches_slogdet_sign():
+    np.testing.assert_allclose(
+        float(gnp.det(gnp.asarray([[2.0, 1.0], [1.0, 2.0]]))), 3.0, rtol=1e-10
+    )
+    # permutation matrix: negative determinant exercises the Householder sign
+    np.testing.assert_allclose(
+        float(gnp.det(gnp.asarray([[0.0, 1.0], [1.0, 0.0]]))), -1.0, rtol=1e-10
+    )
+
+
+def test_custom_sqrt_zero_safe_autodiff():
+    import jax.numpy as jnp
+
+    x0 = jnp.float64(0.0)
+    assert float(gnp.custom_sqrt(x0)) == 0.0
+    # gradient at exactly zero must be finite (defined as 0), not inf
+    g0 = gnp.grad(lambda t: gnp.custom_sqrt(t))(x0)
+    assert float(g0) == 0.0
+    g4 = gnp.grad(lambda t: gnp.custom_sqrt(t))(jnp.float64(4.0))
+    np.testing.assert_allclose(float(g4), 0.25, rtol=1e-12)
+
+
+def test_is_tensor_and_tensor_alias():
+    a = gnp.tensor([1.0, 2.0])
+    assert gnp.is_tensor(a)
+    assert not gnp.is_tensor([1.0, 2.0])
+    assert not gnp.is_tensor(np.ones(3))
+
+
+def test_scalar_safe_and_axis_to_dim():
+    import jax.numpy as jnp
+
+    f = gnp.scalar_safe(jnp.exp)
+    np.testing.assert_allclose(np.asarray(f(0.0)), [1.0])
+    s = gnp.axis_to_dim(jnp.sum)
+    np.testing.assert_allclose(np.asarray(s(jnp.ones((2, 3)), axis=0)), 2 * np.ones(3))
+
+
+def test_normal_distribution_object():
+    import scipy.stats
+
+    d = gnp.Normal(1.0, 2.0)
+    np.testing.assert_allclose(
+        float(d.log_prob(0.5)), scipy.stats.norm.logpdf(0.5, 1.0, 2.0), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(d.cdf(0.0)), scipy.stats.norm.cdf(0.0, 1.0, 2.0), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(d.icdf(0.8)), scipy.stats.norm.ppf(0.8, 1.0, 2.0), rtol=1e-7
+    )
+    assert d.sample((3,)).shape == (3,)
+    assert float(d.mean) == 1.0 and float(d.stddev) == 2.0 and float(d.variance) == 4.0
+
+
+def test_multivariate_normal_distribution_object():
+    import scipy.stats
+
+    cov = _random_spd(3, 5)
+    mu = np.array([0.1, -0.3, 0.7])
+    d = gnp.MultivariateNormal(mu, cov)
+    x = np.array([0.0, 0.2, 0.5])
+    np.testing.assert_allclose(
+        float(d.log_prob(x)),
+        scipy.stats.multivariate_normal.logpdf(x, mean=mu, cov=cov),
+        rtol=1e-9,
+    )
+    assert d.sample(()).shape == (3,)
+    assert d.sample((4,)).shape == (4, 3)
+    gnp.set_seed(0)
+    draws = np.asarray(d.sample((4000,)))
+    np.testing.assert_allclose(draws.mean(axis=0), mu, atol=0.15)
+
+
+def test_get_backend():
+    from gpmp_tpu import config
+
+    assert config.get_backend() == "jax"
