@@ -871,6 +871,10 @@ def _is_linalg_exception(exc: Exception) -> bool:
 # ----------------------------------------------------------------------------
 TensorLike = Union[jax.Array, float, int]
 
+# numpy_backend.py exports numpy.typing.NDArray for annotations; here the
+# array type is jax.Array.
+NDArray = jax.Array
+
 tensor = asarray
 
 
