@@ -203,33 +203,52 @@ def _trace_dot(A, B_t):
 def _streamed_level2_g(H, MF32, chunk):
     """(tr G, |G|_F^2) for G = MF (I + H) MF^T - I without materializing
     G, MF64, or E64 -- the level-2 sandwich of the robust logdet branch,
-    row-chunked so its emulated-f64 matmul temps stay bounded.
+    chunked so its emulated-f64 matmul temps stay bounded.
 
     Two passes, both f64 for the same cancellation reason as the dense
     form (G hides under the identity):
-      1. T = (I + H) MF^T one column-block at a time (lax.map);
+      1. T = (I + H) MF^T built block-by-block (outer lax.map over MF
+         row chunks = T column blocks, inner lax.map over H row chunks);
       2. G row-chunks MF[rc] @ T - I[rc] inside a scan that only carries
-         the two scalars.
-    Requires n % chunk == 0 (callers pick chunk = n/8).  Single-device
-    only: the f64 scan carry is fine there (sharded f64 loop operands
-    crash this TPU toolchain's HloReplicationAnalysis)."""
+         the two scalars, the dot blocked over T's column blocks.
+    EVERY emulated-f64 dot here sees only (chunk, n)-sized operands:
+    XLA hoists the split-operand expansion (8 f32 words per f64 array)
+    of loop-INVARIANT dot operands out of the loop, so a dot against
+    the full (n, n) H or T plants an 8 n^2 f32 temp (8 GB at n=16384 --
+    the round-2 follow-up OOM) regardless of how the other operand is
+    streamed.  Blocking both operands caps the hoisted expansion at
+    8 * chunk * n words; output blocking leaves each contraction over
+    the full n, so the result is bitwise the unblocked sandwich.
+    Requires n % chunk == 0 (callers cap chunk so n*chunk*32B <= 0.5 GB).
+    Single-device only: the f64 scan carry is fine there (sharded f64
+    loop operands crash this TPU toolchain's HloReplicationAnalysis)."""
     n = H.shape[0]
     nb = n // chunk
     hp = jax.lax.Precision.HIGHEST
-    H64 = H.astype(jnp.float64)
+    H64r = H.astype(jnp.float64).reshape(nb, chunk, n)
     MFr = MF32.reshape(nb, chunk, n)
 
-    def _t_cols(mf_rows32):                       # (chunk, n) f32
+    def _t_colblock(mf_rows32):                   # (chunk, n) f32
         mfc = mf_rows32.astype(jnp.float64).T     # (n, chunk)
-        return jnp.dot(H64, mfc, precision=hp) + mfc
 
-    Tb = jax.lax.map(_t_cols, MFr)                # (nb, n, chunk)
-    T = jnp.transpose(Tb, (1, 0, 2)).reshape(n, n)
+        def _rb(h_rows):                          # (chunk, n) f64
+            return jnp.dot(h_rows, mfc, precision=hp)
+
+        return jax.lax.map(_rb, H64r).reshape(n, chunk) + mfc
+
+    # column blocks of T, kept block-major so pass 2 can slice them
+    Tcb = jax.lax.map(_t_colblock, MFr)           # (nb, n, chunk)
 
     def _g_rows(carry, xs):
         g1, g2 = carry
         i, mf_rows32 = xs
-        Gi = jnp.dot(mf_rows32.astype(jnp.float64), T, precision=hp)
+        mf64 = mf_rows32.astype(jnp.float64)      # (chunk, n)
+
+        def _cb(t_cols):                          # (n, chunk) f64
+            return jnp.dot(mf64, t_cols, precision=hp)
+
+        Gi = jax.lax.map(_cb, Tcb)                # (nb, chunk, chunk)
+        Gi = jnp.transpose(Gi, (1, 0, 2)).reshape(chunk, n)
         r = jnp.arange(chunk)
         eye_rows = (
             jnp.arange(n)[None, :] == (i * chunk + r)[:, None]
@@ -245,6 +264,15 @@ def _streamed_level2_g(H, MF32, chunk):
         (jnp.arange(nb), MFr),
     )
     return g1, g2
+
+
+def _level2_chunk(n):
+    """Streaming chunk for _streamed_level2_g: divides n, caps the
+    hoisted split-operand temp (8 f32 words x n x chunk) at ~0.5 GB."""
+    c = max(n // 8, 1)
+    while c > 1 and (n % c or n * c * 32 > (1 << 29)):
+        c //= 2
+    return max(c, 1)
 
 
 # R = K - L L^T in f64, returned f32 (triangular panels, ~n^3/3
@@ -318,9 +346,10 @@ def _mp_core(K, B, mesh, axis_name, block, n_refine):
             # the dense sandwich's two emulated-f64 (n, n) matmuls cost
             # ~16 GB of split-operand HLO temps at n=16384 (one batched
             # f32[8,n,n] accumulator + two bf16[8,n,n] operand splits)
-            # -- THE round-2 single-chip OOM.  Streamed over row chunks
-            # the branch peaks at ~2 n^2 f64 + one chunk's split temps.
-            g1, g2 = _streamed_level2_g(H_, MF32, n // 8)
+            # -- THE round-2 single-chip OOM.  Streamed with both dot
+            # operands blocked the branch peaks at ~2 n^2 f64 + one
+            # chunk's split temps (see _streamed_level2_g).
+            g1, g2 = _streamed_level2_g(H_, MF32, _level2_chunk(n))
         else:
             E64 = jnp.eye(n, dtype=jnp.float64) + H_.astype(jnp.float64)
             MF64 = MF32.astype(jnp.float64)

@@ -155,3 +155,48 @@ def test_sharded_reml_mixed_engine_matches_f64(mesh):
     np.testing.assert_allclose(float(vmp), float(v64), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(gmp), np.asarray(g64),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_streamed_level2_sandwich_matches_dense():
+    # The doubly-blocked streamed (tr G, |G|_F^2) must be bitwise-close
+    # to the dense f64 sandwich it replaces on the single-device robust
+    # branch (only engaged at n >= 12288 on a real chip, so exercise the
+    # helper directly here at small n).
+    from gpmp_tpu.parallel.mixed import _level2_chunk, _streamed_level2_g
+
+    n = 256
+    K = _spd(n, cond=1e7, seed=11)
+    L32 = np.linalg.cholesky(K).astype(np.float32)
+    M32 = np.linalg.inv(L32).astype(np.float32)
+    R32 = (K - L32.astype(np.float64) @ L32.astype(np.float64).T).astype(
+        np.float32
+    )
+    H = (M32 @ R32 @ M32.T).astype(np.float32)
+    E32 = np.eye(n, dtype=np.float32) + H
+    F32 = np.linalg.cholesky(E32).astype(np.float32)
+    MF32 = np.linalg.inv(F32).astype(np.float32)
+
+    E64 = np.eye(n) + H.astype(np.float64)
+    MF64 = MF32.astype(np.float64)
+    G = MF64 @ (E64 @ MF64.T) - np.eye(n)
+    g1_dense, g2_dense = np.trace(G), np.sum(G * G)
+
+    for chunk in (_level2_chunk(n), 32, n):
+        g1, g2 = jax.jit(_streamed_level2_g, static_argnums=2)(
+            jnp.asarray(H), jnp.asarray(MF32), chunk
+        )
+        np.testing.assert_allclose(float(g1), g1_dense, rtol=1e-12,
+                                   atol=1e-14)
+        np.testing.assert_allclose(float(g2), g2_dense, rtol=1e-12,
+                                   atol=1e-14)
+
+
+def test_level2_chunk_divides_and_bounds():
+    from gpmp_tpu.parallel.mixed import _level2_chunk
+
+    for n in (256, 4096, 12288, 16384, 24576, 32768):
+        c = _level2_chunk(n)
+        assert n % c == 0
+        assert c <= max(n // 8, 1)
+        if n >= 12288:
+            assert n * c * 32 <= (1 << 29)  # hoisted temp <= 0.5 GB
