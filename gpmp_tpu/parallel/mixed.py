@@ -420,7 +420,16 @@ def _mp_sal_bwd(mesh, axis_name, block, n_refine, res, cot):
                           (M32, H, H2))
     Kinv = _row_shard(Kinv32.astype(jnp.float64), mesh, axis_name)
 
-    Kbar = ldbar * Kinv - S @ Xm.T
+    # S @ Xm.T via broadcast-multiply accumulation: the emulated-f64 dot
+    # builds its (n, n) output in 8 f32 words (2 x 8 n^2 f32 HLO temps =
+    # 16 GB at n=16384 -- the gradient-program OOM); elementwise f64
+    # products carry no word-split passes and peak at the 2 n^2 f64
+    # output itself.  m is the criterion rhs count (1-2), so this is
+    # also bandwidth-optimal.
+    outer = S[:, 0][:, None] * Xm[:, 0][None, :]
+    for k in range(1, S.shape[1]):
+        outer = outer + S[:, k][:, None] * Xm[:, k][None, :]
+    Kbar = ldbar * Kinv - outer
     Bbar = S.reshape(Xbar.shape)
     return Kbar, Bbar
 
