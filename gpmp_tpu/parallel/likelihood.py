@@ -172,6 +172,17 @@ def _cov_with_f32_backward(model, xi, mesh, axis_name):
         except Exception:
             poly = False
         if poly:
+            n = xi.shape[0]
+            single = mesh is None or mesh.shape[axis_name] == 1
+            if single and n >= 8192 and n % 512 == 0:
+                # one whole-gram f32 pullback saves ~6 n x n autodiff
+                # residuals (cdist, exp, polynomial) -- the last ~6 GB
+                # that push the n=16384 single-chip gradient program
+                # past HBM.  Row-chunked, residuals stay at one chunk.
+                pbar = _chunked_gram_pullback(
+                    model, p32, xi32, Kbar.astype(jnp.float32), 512
+                )
+                return (pbar.astype(p.dtype),)
             _K32, vjp32 = jax.vjp(cov32, p32)
             (pbar,) = vjp32(Kbar.astype(jnp.float32))
             return (pbar.astype(p.dtype),)
@@ -181,6 +192,39 @@ def _cov_with_f32_backward(model, xi, mesh, axis_name):
 
     cov.defvjp(fwd, bwd)
     return cov
+
+
+def _chunked_gram_pullback(model, p32, xi32, Kbar32, chunk):
+    """grad_p <Kbar, K(p)> for the single-device f32 gram, row-chunked.
+
+    K(p) = cross_cov(xi, xi, p) + diag(corr(p)) (sharded_covariance's
+    single-device form), so the pullback splits into a scan over row
+    chunks of the cross-covariance -- each block rematerialized
+    (jax.checkpoint), so the backward holds ONE chunk's kernel-chain
+    residuals instead of ~6 full (n, n) f32 buffers -- plus the O(n)
+    diagonal-correction term.  Same f32 products as the unchunked
+    jax.vjp; only the summation order differs (eps32-washout level,
+    the engine's documented gradient accuracy)."""
+    n, d = xi32.shape
+    nb = n // chunk
+    xc = xi32 + jnp.zeros_like(xi32)      # defeat the kernel's `y is x`
+    diag_bar = jnp.diagonal(Kbar32)
+
+    def loss(p):
+        def blk(carry, xs):
+            x_rows, kb = xs
+            Kr = model.covariance(x_rows, xc, p)
+            return carry + jnp.sum(kb * Kr.astype(kb.dtype)), None
+
+        s, _ = lax.scan(
+            jax.checkpoint(blk),
+            jnp.float32(0.0),
+            (xi32.reshape(nb, chunk, d), Kbar32.reshape(nb, chunk, n)),
+        )
+        corr = _diag_correction(model, p, xi32)
+        return s + jnp.sum(diag_bar * corr.astype(diag_bar.dtype))
+
+    return jax.grad(loss)(p32)
 
 
 def _make_cov(model, covparam, xi, zi, mesh, axis_name):

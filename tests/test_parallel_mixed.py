@@ -200,3 +200,48 @@ def test_level2_chunk_divides_and_bounds():
         assert c <= max(n // 8, 1)
         if n >= 12288:
             assert n * c * 32 <= (1 << 29)  # hoisted temp <= 0.5 GB
+
+
+def test_chunked_gram_pullback_matches_vjp():
+    # The row-chunked f32 gram pullback (used single-device at n >= 8192
+    # to bound backward residuals) must match the whole-gram jax.vjp up
+    # to f32 summation-order noise.
+    from gpmp_tpu.parallel.likelihood import (
+        _chunked_gram_pullback,
+        sharded_covariance,
+    )
+
+    n, d = 256, 3
+    rng = np.random.default_rng(3)
+    xi32 = jnp.asarray(rng.uniform(size=(n, d)), dtype=jnp.float32)
+    p32 = jnp.asarray(
+        np.concatenate([[0.1], [-4.0], -np.log([0.3, 0.4, 0.5])]),
+        dtype=jnp.float32,
+    )
+    Kbar32 = jnp.asarray(rng.normal(size=(n, n)), dtype=jnp.float32)
+
+    def noisy_kernel(x, y, covparam, pairwise=False):
+        # reference convention: the noise diagonal rides the `y is x`
+        # self branch only (cross calls return the prior covariance)
+        sigma2 = gnp.exp(covparam[0])
+        noise = gnp.exp(covparam[1])
+        if pairwise:
+            return (sigma2 + noise) * gnp.ones((x.shape[0],))
+        self_branch = y is x or y is None
+        yy = x if self_branch else y
+        K = gnp.scaled_distance(covparam[2:], x, yy)
+        K = sigma2 * gp.kernel.maternp_kernel(2, K)
+        if self_branch:
+            K = K + noise * gnp.eye(x.shape[0], dtype=K.dtype)
+        return K
+
+    model = gp.Model(None, noisy_kernel, meantype="zero")
+
+    def cov32(p):
+        return sharded_covariance(model, p, xi32, None)
+
+    _K, vjp = jax.vjp(cov32, p32)
+    (pbar_ref,) = vjp(Kbar32)
+    pbar = _chunked_gram_pullback(model, p32, xi32, Kbar32, 32)
+    np.testing.assert_allclose(np.asarray(pbar), np.asarray(pbar_ref),
+                               rtol=2e-5, atol=2e-4)
