@@ -29,6 +29,12 @@ N_WINDOWS = 6
 SEED = 7
 NOISE_STD = 0.1
 
+# Best torch-CPU baseline observed on an IDLE machine (evals/s); the
+# in-run measurement drops under host load, which would INFLATE
+# vs_baseline, so the denominator is floored here (conservative:
+# vs_baseline can only understate the speedup).
+NOMINAL_BASELINE_EVALS_PER_SEC = 2.8
+
 _BASELINE_SCRIPT = r"""
 import os, sys, time, json
 os.environ["GPMP_BACKEND"] = "torch"
@@ -210,6 +216,8 @@ def _run():
     evals_per_sec = steady[len(steady) // 2]
 
     baseline = measure_baseline()
+    if baseline:
+        baseline = max(baseline, NOMINAL_BASELINE_EVALS_PER_SEC)
     vs_baseline = (evals_per_sec / baseline) if baseline else None
 
     print(

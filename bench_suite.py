@@ -269,7 +269,7 @@ def _example23_posterior():
 
 
 def bench_posterior_mh(n_steps=10_000, burnin=4_000, chains=2,
-                       blocks_per_dispatch=16):
+                       blocks_per_dispatch=64):
     from gpmp_tpu.mcmc import sample_from_selection_criterion_mh
 
     model, info = _example23_posterior()
