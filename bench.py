@@ -4,23 +4,34 @@ noisy-regression config (BASELINE.json config #2, example07 shape):
 n=1000, d=6, Matern p=2 with observation-noise variance, float64 data.
 
 The TPU path uses the mixed-precision Cholesky engine
-(GPMP_CHOL_ENGINE=mixed: f32 Pallas/XLA factorization + f64
-matmul-based refinement); the bench asserts <1e-6 relative agreement
-with the exact f64 engine at the eval point before timing, and falls
-back to the f64 engine if that check fails.
+(GPMP_CHOL_ENGINE=mixed: f32 XLA factorization + f64 matmul-based
+refinement); the bench asserts <1e-6 relative agreement with the exact
+f64 engine at the eval point before timing, and falls back to the f64
+engine if that check fails.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N,
+   "baseline_measured": N|null, "baseline_used": N}
 
 vs_baseline: speedup over the reference gpmp torch-CPU backend
 (autograd value+grad of the same criterion), measured in a subprocess
-on this machine.
+on this machine.  The subprocess runs CONCURRENTLY with the TPU
+compile so it adds no wall-clock, and its result is cached in
+baseline.json.  The denominator is floored at the best torch-CPU
+rate observed on an idle machine (NOMINAL_BASELINE_EVALS_PER_SEC) so
+host load during the bench cannot inflate the speedup; both the raw
+measurement and the floored value are emitted so the substitution is
+auditable.
+
+A watchdog emits the JSON line with whatever has been measured if the
+run approaches the driver's capture budget (rc=124 protection).
 """
 
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 N, D, P_SMOOTH = 1000, 6, 2
@@ -29,11 +40,18 @@ N_WINDOWS = 6
 SEED = 7
 NOISE_STD = 0.1
 
+# Hard deadline (seconds): the driver's capture budget is ~10 min; emit
+# whatever we have well before that.
+DEADLINE_S = float(os.environ.get("GPMP_BENCH_DEADLINE", 420))
+
 # Best torch-CPU baseline observed on an IDLE machine (evals/s); the
 # in-run measurement drops under host load, which would INFLATE
 # vs_baseline, so the denominator is floored here (conservative:
 # vs_baseline can only understate the speedup).
 NOMINAL_BASELINE_EVALS_PER_SEC = 2.8
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BASELINE_CACHE = os.path.join(_HERE, "baseline.json")
 
 _BASELINE_SCRIPT = r"""
 import os, sys, time, json
@@ -88,53 +106,123 @@ dt = time.perf_counter() - t0
 print(json.dumps({"evals_per_sec": N_EVAL / dt}))
 """
 
+# Shared measurement state: the watchdog reads this to emit a best-effort
+# JSON line if the deadline approaches.
+_STATE = {
+    "engine": None,
+    "evals_per_sec": None,
+    "baseline_measured": None,
+    "emitted": False,
+}
+_EMIT_LOCK = threading.Lock()
 
-def measure_baseline(n_runs=5):
-    """Median of n_runs torch-CPU measurements (machine-load robust)."""
-    vals = []
-    script = _BASELINE_SCRIPT % (N, D, P_SMOOTH, SEED, N_EVAL, NOISE_STD)
-    for _ in range(n_runs):
+
+def _emit(partial=False):
+    """Print the ONE JSON line (at most once across threads)."""
+    with _EMIT_LOCK:
+        if _STATE["emitted"]:
+            return
+        _STATE["emitted"] = True
+    value = _STATE["evals_per_sec"] or 0.0
+    measured = _STATE["baseline_measured"]
+    used = max(measured, NOMINAL_BASELINE_EVALS_PER_SEC) if measured else (
+        NOMINAL_BASELINE_EVALS_PER_SEC
+    )
+    engine = _STATE["engine"] or "unknown"
+    out = {
+        "metric": "noisy_reml_nll_grad_evals_per_sec_n1000_d6_f64_" + engine,
+        "value": round(value, 4),
+        "unit": "evals/s",
+        "vs_baseline": round(value / used, 4) if value else None,
+        "baseline_measured": round(measured, 4) if measured else None,
+        "baseline_used": round(used, 4),
+    }
+    if partial:
+        out["partial"] = True
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog():
+    _emit(partial=True)
+    # Give stdout a moment, then hard-exit: a hung tunnel call cannot be
+    # interrupted politely and the JSON line is already out.
+    sys.stdout.flush()
+    os._exit(0)
+
+
+class BaselineRunner:
+    """Torch-CPU baseline in a concurrent subprocess, cached on disk."""
+
+    def __init__(self):
+        self.proc = None
+        self.cached = None
         try:
-            out = subprocess.run(
-                [sys.executable, "-c", script],
-                capture_output=True, text=True, timeout=900,
-            )
-            for line in out.stdout.strip().splitlines()[::-1]:
-                try:
-                    vals.append(float(json.loads(line)["evals_per_sec"]))
-                    break
-                except Exception:
-                    continue
+            with open(_BASELINE_CACHE) as f:
+                self.cached = float(json.load(f)["evals_per_sec"])
         except Exception:
-            continue
-    if not vals:
-        return None
-    vals.sort()
-    return vals[len(vals) // 2]
+            pass
+
+    def start(self):
+        script = _BASELINE_SCRIPT % (N, D, P_SMOOTH, SEED, N_EVAL, NOISE_STD)
+        try:
+            self.proc = subprocess.Popen(
+                [sys.executable, "-c", script],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            )
+        except Exception:
+            self.proc = None
+
+    def collect(self, budget_s):
+        """Wait up to budget_s for the subprocess; fall back to cache."""
+        measured = None
+        if self.proc is not None:
+            try:
+                out, _ = self.proc.communicate(timeout=max(budget_s, 1.0))
+                for line in out.strip().splitlines()[::-1]:
+                    try:
+                        measured = float(json.loads(line)["evals_per_sec"])
+                        break
+                    except Exception:
+                        continue
+            except Exception:
+                try:
+                    self.proc.kill()
+                except Exception:
+                    pass
+        if measured is not None:
+            try:
+                with open(_BASELINE_CACHE, "w") as f:
+                    json.dump({"evals_per_sec": measured,
+                               "config": [N, D, P_SMOOTH, SEED, N_EVAL]}, f)
+            except Exception:
+                pass
+            return measured
+        return self.cached
 
 
 def main():
-    for attempt in range(3):
-        try:
-            return _run()
-        except Exception as e:
-            sys.stderr.write(f"bench attempt {attempt + 1} failed: {e}\n")
-            time.sleep(20)
-    # last resort: never leave the driver without a JSON line
-    print(json.dumps({
-        "metric": "noisy_reml_nll_grad_evals_per_sec_n1000_d6_f64",
-        "value": 0.0, "unit": "evals/s", "vs_baseline": None,
-    }))
+    t_start = time.monotonic()
+    timer = threading.Timer(max(DEADLINE_S - 15.0, 30.0), _watchdog)
+    timer.daemon = True
+    timer.start()
+    try:
+        _run(t_start)
+    except Exception as e:
+        sys.stderr.write(f"bench failed: {e}\n")
+    _emit()
+    timer.cancel()
 
 
-def _run():
+def _run(t_start):
+    baseline = BaselineRunner()
+    baseline.start()  # overlaps with JAX import + compile below
+
     import numpy as np
     import jax
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, _HERE)
     import gpmp_tpu as gp
     import gpmp_tpu.num as gnp
-    from gpmp_tpu.core import likelihood
 
     rng = np.random.default_rng(SEED)
     xi_np = rng.uniform(size=(N, D))
@@ -200,6 +288,7 @@ def _run():
         v_mp, g = vg(p0)
         jax.block_until_ready(g)
         engine = "f64"
+    _STATE["engine"] = engine
 
     # The tunneled device shows transient dispatch stalls (first window
     # after warmup is reliably ~40% slower; occasional multi-second
@@ -212,27 +301,12 @@ def _run():
             v, g = vg(p0 + 0.001 * i)
         jax.block_until_ready(g)
         windows.append(N_EVAL / (time.perf_counter() - t0))
-    steady = sorted(windows[1:]) if len(windows) > 1 else windows
-    evals_per_sec = steady[len(steady) // 2]
+        steady = sorted(windows[1:]) if len(windows) > 1 else windows
+        _STATE["evals_per_sec"] = steady[len(steady) // 2]
 
-    baseline = measure_baseline()
-    if baseline:
-        baseline = max(baseline, NOMINAL_BASELINE_EVALS_PER_SEC)
-    vs_baseline = (evals_per_sec / baseline) if baseline else None
-
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "noisy_reml_nll_grad_evals_per_sec_n1000_d6_f64_"
-                    + engine
-                ),
-                "value": round(evals_per_sec, 4),
-                "unit": "evals/s",
-                "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
-            }
-        )
-    )
+    # Baseline: whatever budget remains before the deadline, minus slack.
+    budget = DEADLINE_S - 30.0 - (time.monotonic() - t_start)
+    _STATE["baseline_measured"] = baseline.collect(budget)
 
 
 if __name__ == "__main__":

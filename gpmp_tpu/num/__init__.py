@@ -56,11 +56,39 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # overrides the cache directory.
 _cache_spec = os.environ.get("GPMP_COMPILE_CACHE", "")
 _user_cache = getattr(jax.config, "jax_compilation_cache_dir", None)
+
+
+def _machine_fingerprint():
+    """Short id of this host's CPU microarchitecture.
+
+    Cache entries can embed XLA:CPU AOT executables specialized to the
+    compile host's ISA features; loading them on a host with different
+    features risks SIGILL (cpu_aot_loader warns loudly).  Keying the
+    cache directory on (arch, cpu-flags) keeps each machine's entries
+    separate, so entries never cross hosts.
+    """
+    import hashlib
+    import platform as _platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    raw = (_platform.machine() + "|" + flags).encode()
+    return hashlib.sha256(raw).hexdigest()[:10]
+
+
 if _cache_spec != "0" and not _user_cache:
     # honor a cache dir the host application configured before import;
     # only install ours when none is set (see README "side effects")
     _cache_dir = _cache_spec or os.path.join(
-        os.path.expanduser("~"), ".cache", "gpmp_tpu", "xla"
+        os.path.expanduser("~"), ".cache", "gpmp_tpu", "xla",
+        _machine_fingerprint(),
     )
     try:
         os.makedirs(_cache_dir, exist_ok=True)
@@ -273,6 +301,11 @@ def to_np(x):
     if isinstance(x, jax.Array):
         return _onp.asarray(x)
     return x
+
+
+def to_numpy(x):
+    """Alias of to_np (reference: gpmp calls gnp.to_numpy, e.g. nuts.py:1163)."""
+    return to_np(x)
 
 
 def to_scalar(x):
@@ -496,6 +529,11 @@ class normal:
     @staticmethod
     def cdf(x, loc=0.0, scale=1.0):
         return jax.scipy.stats.norm.cdf(x, loc=loc, scale=scale)
+
+    @staticmethod
+    def logcdf(x, loc=0.0, scale=1.0):
+        """Log normal CDF (reference: torch_backend.py:966)."""
+        return jax.scipy.stats.norm.logcdf(x, loc=loc, scale=scale)
 
     @staticmethod
     def ppf(q, loc=0.0, scale=1.0):
