@@ -47,35 +47,44 @@ def chol_engine(n=None):
 
 
 def _engine_for(K, *arrays):
-    """chol_engine(n), demoted to 'f64' under forward-mode autodiff.
+    """chol_engine(n) (kept as a separate hook for formulation choices
+    that depend on the engine, e.g. norm_k_sqrd and the LOO variants).
 
-    The mixed engine's custom-VJP entry points reject jax.jacfwd /
-    jax.hessian traces; rather than raising, hot-path dispatchers use
-    the exact f64 factorization for those traces (logged once per
-    trace -- tracing is rare, execution is cached).
+    Forward-mode autodiff handling moved INTO the dispatchers below:
+    the mixed engine's custom-VJP entry points reject jax.jacfwd /
+    jax.hessian traces with a TypeError at trace time, which the
+    dispatchers catch (ops.mixed.is_fwd_mode_error) to retry on the
+    custom_jvp twins -- second-order autodiff then stays on the mixed
+    engine instead of demoting to f64 (round-2 behavior).
     """
-    eng = chol_engine(K.shape[0])
-    if eng == "mixed":
-        from gpmp_tpu.ops.mixed import forward_mode_ad
+    return chol_engine(K.shape[0])
 
-        if forward_mode_ad(K, *arrays):
-            from gpmp_tpu.config import get_logger
 
-            get_logger().warning(
-                "mixed Cholesky engine: forward-mode autodiff "
-                "(jacfwd/hessian) detected; using the exact f64 "
-                "engine for this trace."
-            )
-            return "f64"
-    return eng
+def _log_fwdmode_retry():
+    from gpmp_tpu.config import get_logger
+
+    get_logger().info(
+        "mixed Cholesky engine: forward-mode autodiff (jacfwd/hessian) "
+        "trace detected; using the custom_jvp twin for this trace."
+    )
 
 
 def solve_and_logdet(K, rhs):
     """(K^{-1} rhs, log det K) via the configured engine; NaN-propagating."""
     if _engine_for(K, rhs) == "mixed":
-        from gpmp_tpu.ops.mixed import mp_solve_and_logdet
+        from gpmp_tpu.ops.mixed import (
+            is_fwd_mode_error,
+            mp_solve_and_logdet,
+            mp_solve_and_logdet_fwdmode,
+        )
 
-        return mp_solve_and_logdet(K, rhs)
+        try:
+            return mp_solve_and_logdet(K, rhs)
+        except TypeError as e:
+            if not is_fwd_mode_error(e):
+                raise
+            _log_fwdmode_retry()
+            return mp_solve_and_logdet_fwdmode(K, rhs)
     X, C = gnp.cholesky_solve(K, rhs)
     return X, 2.0 * jnp.sum(jnp.log(jnp.diag(C)))
 
@@ -83,9 +92,19 @@ def solve_and_logdet(K, rhs):
 def engine_cholesky_solve(K, rhs):
     """K^{-1} rhs via the configured engine (no logdet)."""
     if _engine_for(K, rhs) == "mixed":
-        from gpmp_tpu.ops.mixed import refined_solve
+        from gpmp_tpu.ops.mixed import (
+            is_fwd_mode_error,
+            refined_solve,
+            refined_solve_fwdmode,
+        )
 
-        return refined_solve(K, rhs)
+        try:
+            return refined_solve(K, rhs)
+        except TypeError as e:
+            if not is_fwd_mode_error(e):
+                raise
+            _log_fwdmode_retry()
+            return refined_solve_fwdmode(K, rhs)
     X, _C = gnp.cholesky_solve(K, rhs)
     return X
 

@@ -83,7 +83,17 @@ def _machine_fingerprint():
     return hashlib.sha256(raw).hexdigest()[:10]
 
 
-if _cache_spec != "0" and not _user_cache:
+# CPU-only processes (tests, the multichip dryrun) skip the persistent
+# cache: serialized XLA:CPU executables are AOT artifacts whose embedded
+# tuning pseudo-features (+prefer-no-scatter, ...) fail the loader's
+# host-feature check even on the SAME machine, flooding stderr with
+# cpu_aot_loader SIGILL warnings -- and a cache shared across hosts
+# could genuinely mis-execute.  The cache's payoff is the TPU tunnel
+# (server-side compiles), which keeps it.
+_platforms = str(getattr(jax.config, "jax_platforms", "") or "")
+_cpu_only = _platforms.strip().lower() == "cpu"
+
+if _cache_spec != "0" and not _user_cache and not _cpu_only:
     # honor a cache dir the host application configured before import;
     # only install ours when none is set (see README "side effects")
     _cache_dir = _cache_spec or os.path.join(

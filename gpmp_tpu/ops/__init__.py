@@ -7,8 +7,10 @@ from .mixed import (
     mp_logdet,
     mp_solve_and_inv_diag,
     mp_solve_and_logdet,
+    mp_solve_and_logdet_fwdmode,
     refined_cholesky_solve,
     refined_solve,
+    refined_solve_fwdmode,
 )
 from .refine import newton_tri_inv, refined_cholesky, sampling_sqrt
 
@@ -17,8 +19,10 @@ __all__ = [
     "mp_logdet",
     "mp_solve_and_inv_diag",
     "mp_solve_and_logdet",
+    "mp_solve_and_logdet_fwdmode",
     "refined_cholesky_solve",
     "refined_solve",
+    "refined_solve_fwdmode",
     "newton_tri_inv",
     "refined_cholesky",
     "sampling_sqrt",

@@ -54,31 +54,18 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-def forward_mode_ad(*arrays):
-    """True if any argument carries a forward-mode (JVP) tracer.
+def is_fwd_mode_error(e):
+    """True when e is JAX's refusal to apply forward-mode autodiff to a
+    custom_vjp function.
 
-    The engine's entry points are jax.custom_vjp functions, which
-    reject forward-mode autodiff (jax.jacfwd / jax.hessian).  The
-    engine dispatchers call this to fall back to the exact f64 path
-    for such traces instead of raising.  Reverse mode (grad,
-    value_and_grad, jacrev, including jacrev-of-jacrev) never creates
-    a JVPTracer and keeps the fast path.
+    The engine dispatchers attempt the custom-VJP fast path first and
+    catch this trace-time error to retry on a forward-mode-capable
+    path (the custom_jvp twins below, or exact f64).  The functions
+    are pure, so a failed trace commits nothing.  This replaces round
+    2's tracer-attribute introspection (walking .primal/.tangent) with
+    the supported failure signal.
     """
-    import jax.core
-    from jax.interpreters.ad import JVPTracer
-
-    def walk(v, depth):
-        if depth > 8 or not isinstance(v, jax.core.Tracer):
-            return False
-        if isinstance(v, JVPTracer):
-            return True
-        for attr in ("primal", "tangent", "val"):
-            u = getattr(v, attr, None)
-            if u is not None and walk(u, depth + 1):
-                return True
-        return False
-
-    return any(walk(a, 0) for a in arrays)
+    return isinstance(e, TypeError) and "custom_vjp" in str(e)
 
 
 DEFAULT_REFINE_ITERS = 4
@@ -406,6 +393,40 @@ def _mp_sal_fwd(n_refine, K, B):
     return (X, ld), res
 
 
+def _mp_kinv(M, H):
+    """K^{-1} from the saved preconditioner M and defect H, via the same
+    series/robust lax.cond the logdet uses (shared by the backward rule
+    and the forward-mode JVP twin)."""
+    dtype = M.dtype
+    n = M.shape[0]
+    eye = jnp.eye(n, dtype=dtype)
+    trH2 = jnp.sum(H.astype(dtype) * H.astype(dtype))
+
+    def _series_inv(operands):
+        # Kinv ~= M^T (I - H + H^2) M = M^T M - M^T (H - H^2) M.  The
+        # identity part needs one f64 matmul; the correction is O(|H|)
+        # relative to it, so its two matmuls run in f32 (error
+        # O(1e-7 |H|) <= 1e-9 relative on Kinv).
+        M_, H_ = operands
+        Y = M_.T @ M_
+        M32 = M_.astype(jnp.float32)
+        HmH2 = H_ - H_ @ H_
+        C = (M32.T @ (HmH2 @ M32)).astype(dtype)
+        return Y - C
+
+    def _robust_inv(operands):
+        M_, H_ = operands
+        E_ = eye + H_.astype(dtype)
+        _L_E, M_E = _f32_preconditioner(E_)
+        E2 = M_E @ E_ @ M_E.T
+        DL = E2 - eye
+        G = M_E @ M_
+        W = (eye - DL + DL @ DL) @ G
+        return G.T @ W
+
+    return jax.lax.cond(trH2 < _SERIES_TAU, _series_inv, _robust_inv, (M, H))
+
+
 def _mp_sal_bwd(n_refine, res, cot):
     """Analytic backward: all f64 work is matmuls.
 
@@ -417,8 +438,6 @@ def _mp_sal_bwd(n_refine, res, cot):
     """
     Xbar, ldbar = cot
     K, M, H, X = res
-    n = K.shape[0]
-    eye = jnp.eye(n, dtype=K.dtype)
 
     squeeze = Xbar.ndim == 1
     Xb = Xbar.reshape(-1, 1) if squeeze else Xbar
@@ -426,31 +445,7 @@ def _mp_sal_bwd(n_refine, res, cot):
     S, _ = refined_cholesky_solve(K, Xb, precond=(M, M), n_refine=n_refine,
                                   early_exit=True)
 
-    trH2 = jnp.sum(H.astype(K.dtype) * H.astype(K.dtype))
-
-    def _series_inv(operands):
-        # Kinv ~= M^T (I - H + H^2) M = M^T M - M^T (H - H^2) M.  The
-        # identity part needs one f64 matmul; the correction is O(|H|)
-        # relative to it, so its two matmuls run in f32 (error
-        # O(1e-7 |H|) <= 1e-9 relative on Kinv).
-        M_, H_ = operands
-        Y = M_.T @ M_
-        M32 = M_.astype(jnp.float32)
-        HmH2 = H_ - H_ @ H_
-        C = (M32.T @ (HmH2 @ M32)).astype(K.dtype)
-        return Y - C
-
-    def _robust_inv(operands):
-        M_, H_ = operands
-        E_ = eye + H_.astype(K.dtype)
-        _L_E, M_E = _f32_preconditioner(E_)
-        E2 = M_E @ E_ @ M_E.T
-        DL = E2 - eye
-        G = M_E @ M_
-        W = (eye - DL + DL @ DL) @ G
-        return G.T @ W
-
-    Kinv = jax.lax.cond(trH2 < _SERIES_TAU, _series_inv, _robust_inv, (M, H))
+    Kinv = _mp_kinv(M, H)
     Kbar = ldbar * Kinv - S @ Xm.T
     Bbar = S.reshape(Xbar.shape)
     return Kbar, Bbar
@@ -459,18 +454,98 @@ def _mp_sal_bwd(n_refine, res, cot):
 _mp_solve_and_logdet.defvjp(_mp_sal_fwd, _mp_sal_bwd)
 
 
+def _refined_apply(K, M, B, iters):
+    """Unrolled, guard-free refinement x -> ~K^{-1} B with a FIXED
+    preconditioner: linear in B and built purely from transposable ops
+    (matmuls, multiply+reduce), so it can serve as the tangent solve of
+    the custom_jvp twins below -- reverse mode through those twins
+    transposes exactly this computation.  (refined_cholesky_solve's
+    convergence guard is a data-dependent jnp.where on the residual,
+    which is nonlinear in B and must not appear on a tangent path.)"""
+    squeeze = B.ndim == 1
+    Bm = B.reshape(-1, 1) if squeeze else B
+    X = _apply(M, Bm)
+    for _ in range(iters):
+        X = X + _apply(M, Bm - _f64_matvec(K, X))
+    return X.reshape(-1) if squeeze else X
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _mp_sal_fwdmode(n_refine, K, B):
+    X, ld, _res = _mp_solve_and_logdet_core(n_refine, K, B)
+    return X, ld
+
+
+@_mp_sal_fwdmode.defjvp
+def _mp_sal_fwdmode_jvp(n_refine, primals, tangents):
+    """Forward-mode rule: given the saved preconditioner, the tangents
+    are one extra refined solve and a trace --
+      dX  = K^{-1} (dB - dK X),
+      dld = <K^{-1}, dK>  (K^{-1} from the same series as the VJP).
+    Linear and transposable in (dK, dB), so jax also derives reverse
+    mode from this rule (jacfwd-of-jacrev Hessians stay on the mixed
+    engine end to end)."""
+    K, B = primals
+    dK, dB = tangents
+    X, ld, (K_, M, H, _X) = _mp_solve_and_logdet_core(n_refine, K, B)
+    squeeze = B.ndim == 1
+    Xm = X.reshape(-1, 1) if squeeze else X
+    dBm = dB.reshape(-1, 1) if squeeze else dB
+    dRhs = dBm - _f64_matvec(dK, Xm)
+    dX = _refined_apply(K, M, dRhs, n_refine)
+    dX = dX.reshape(B.shape)
+    dld = jnp.sum(_mp_kinv(M, H) * dK)
+    return (X, ld), (dX, dld)
+
+
+def mp_solve_and_logdet_fwdmode(K, B, n_refine=DEFAULT_REFINE_ITERS):
+    """Forward-mode-capable twin of mp_solve_and_logdet (custom_jvp
+    instead of custom_vjp).  Same primal; tangent rule above.  The
+    dispatchers use it when the custom_vjp entry point rejects a JVP
+    trace (is_fwd_mode_error), so jax.jacfwd / jax.hessian run on the
+    mixed engine instead of falling back to f64.  Reverse-mode callers
+    keep mp_solve_and_logdet: its analytic VJP computes K^{-1} in the
+    backward pass, whereas reverse-through-this-twin would hold K^{-1}
+    as a linearization residual (one extra n^2 f64 buffer)."""
+    return _mp_sal_fwdmode(n_refine, K, B)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _refined_solve_fwdmode(n_refine, K, B):
+    X, _ = refined_cholesky_solve(K, B, n_refine=n_refine, early_exit=True)
+    return X
+
+
+@_refined_solve_fwdmode.defjvp
+def _refined_solve_fwdmode_jvp(n_refine, primals, tangents):
+    K, B = primals
+    dK, dB = tangents
+    X, (L, M) = refined_cholesky_solve(K, B, n_refine=n_refine,
+                                       early_exit=True)
+    squeeze = B.ndim == 1
+    Xm = X.reshape(-1, 1) if squeeze else X
+    dBm = dB.reshape(-1, 1) if squeeze else dB
+    dX = _refined_apply(K, M, dBm - _f64_matvec(dK, Xm), n_refine)
+    return X, dX.reshape(B.shape)
+
+
+def refined_solve_fwdmode(K, B, n_refine=DEFAULT_REFINE_ITERS):
+    """Forward-mode-capable twin of refined_solve (see
+    mp_solve_and_logdet_fwdmode)."""
+    return _refined_solve_fwdmode(n_refine, K, B)
+
+
 def mp_solve_and_logdet(K, B, n_refine=DEFAULT_REFINE_ITERS):
     """(K^{-1} B, log det K) sharing one f32 preconditioner.
 
     Differentiable via an analytic custom VJP (see _mp_sal_bwd); the
     VJP residuals hold four n x n f64 buffers, so for n beyond ~10k
     use the sharded criterion in gpmp_tpu.parallel instead.  Reverse
-    mode only: jax.hessian / jacfwd through this function raises.
-    The core.linalg engine dispatchers detect forward-mode traces
-    (forward_mode_ad above) and route them to the exact f64 path
-    instead, so library surfaces (NLL, LOO, Fisher) never hit the
-    raise; only direct callers of this function need
-    GPMP_CHOL_ENGINE=f64 for second-order work.
+    mode only: jax.jacfwd / jax.hessian through this function raises
+    (custom_vjp); the core.linalg dispatchers catch that trace-time
+    error (is_fwd_mode_error) and retry on the custom_jvp twin
+    mp_solve_and_logdet_fwdmode, so library surfaces (NLL, LOO,
+    Fisher) support second-order autodiff on the mixed engine.
     """
     return _mp_solve_and_logdet(n_refine, K, B)
 

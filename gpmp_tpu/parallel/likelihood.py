@@ -30,10 +30,23 @@ from .chol import sharded_solve_and_logdet
 from .mixed import sharded_mp_solve_and_logdet
 
 
-def _engine_solve_and_logdet(K, rhs, mesh, axis_name, block):
+def _largest_divisor_leq(n, bound):
+    """Largest divisor of n that is <= bound (>=1)."""
+    best = 1
+    i = 1
+    while i * i <= n:
+        if n % i == 0:
+            for c in (i, n // i):
+                if best < c <= bound:
+                    best = c
+        i += 1
+    return best
+
+
+def _engine_solve_and_logdet(K, rhs, mesh, axis_name, block, mixed_ok=True):
     """Dispatch to the mixed-precision sharded engine when configured
     (GPMP_CHOL_ENGINE=mixed), else the exact-f64 distributed Cholesky."""
-    if K.dtype == jnp.float64 and _engine_for(K, rhs) == "mixed":
+    if mixed_ok and K.dtype == jnp.float64 and _engine_for(K, rhs) == "mixed":
         return sharded_mp_solve_and_logdet(
             K, rhs, mesh, axis_name=axis_name, block=block
         )
@@ -117,21 +130,19 @@ def sharded_covariance(model, covparam, xi, mesh, axis_name="shard"):
 
 
 def _gram_f32_backward_active(covparam, xi, zi):
-    """True when the mixed solve engine will run AND reverse mode applies.
+    """True when the mixed solve engine will run.
 
-    Mirrors the _engine_for dispatch: the f32 gram backward only pays off
-    when the solve engine's own backward is the f32 analytic VJP (the
-    cotangent Kbar then carries eps32-level noise anyway); under
-    forward-mode autodiff the custom_vjp wrapper cannot be used at all,
-    so the rematerialized f64 path is kept."""
+    The f32 gram backward only pays off when the solve engine's own
+    backward is the f32 analytic VJP (the cotangent Kbar then carries
+    eps32-level noise anyway).  Forward-mode autodiff -- under which
+    the custom_vjp wrappers cannot trace at all -- is handled by the
+    criterion entry points below: they catch the trace-time TypeError
+    (ops.mixed.is_fwd_mode_error) and retry with mixed_ok=False."""
     if xi.dtype != jnp.float64:
         return False
     from gpmp_tpu.core.linalg import chol_engine
-    from gpmp_tpu.ops.mixed import forward_mode_ad
 
-    return chol_engine(xi.shape[0]) == "mixed" and not forward_mode_ad(
-        covparam, xi, zi
-    )
+    return chol_engine(xi.shape[0]) == "mixed"
 
 
 def _cov_with_f32_backward(model, xi, mesh, axis_name):
@@ -174,13 +185,17 @@ def _cov_with_f32_backward(model, xi, mesh, axis_name):
         if poly:
             n = xi.shape[0]
             single = mesh is None or mesh.shape[axis_name] == 1
-            if single and n >= 8192 and n % 512 == 0:
+            # largest divisor of n <= 512 (mirrors _level2_chunk's
+            # divisor search): keeps the HBM fix active for n not
+            # divisible by 512, e.g. 8448 -> 384
+            pb_chunk = _largest_divisor_leq(n, 512)
+            if single and n >= 8192 and pb_chunk >= 64:
                 # one whole-gram f32 pullback saves ~6 n x n autodiff
                 # residuals (cdist, exp, polynomial) -- the last ~6 GB
                 # that push the n=16384 single-chip gradient program
                 # past HBM.  Row-chunked, residuals stay at one chunk.
                 pbar = _chunked_gram_pullback(
-                    model, p32, xi32, Kbar.astype(jnp.float32), 512
+                    model, p32, xi32, Kbar.astype(jnp.float32), pb_chunk
                 )
                 return (pbar.astype(p.dtype),)
             _K32, vjp32 = jax.vjp(cov32, p32)
@@ -227,7 +242,7 @@ def _chunked_gram_pullback(model, p32, xi32, Kbar32, chunk):
     return jax.grad(loss)(p32)
 
 
-def _make_cov(model, covparam, xi, zi, mesh, axis_name):
+def _make_cov(model, covparam, xi, zi, mesh, axis_name, mixed_ok=True):
     """Gram constructor for the sharded criteria: f32-backward wrapper on
     the mixed-engine path, rematerialized f64 otherwise.
 
@@ -235,11 +250,30 @@ def _make_cov(model, covparam, xi, zi, mesh, axis_name):
     otherwise saves O(10) n x n autodiff residuals, which at n=16384 f64
     exceeds single-chip HBM (observed 52 GB).  The custom-VJP wrapper
     stores only covparam, so it subsumes the remat."""
-    if _gram_f32_backward_active(covparam, xi, zi):
+    if mixed_ok and _gram_f32_backward_active(covparam, xi, zi):
         return _cov_with_f32_backward(model, xi, mesh, axis_name)
     return jax.checkpoint(
         lambda p: sharded_covariance(model, p, xi, mesh, axis_name=axis_name)
     )
+
+
+def _fwdmode_retry(trace_criterion):
+    """Run trace_criterion(mixed_ok=True); when the mixed engine's
+    custom-VJP wrappers reject a forward-mode (jacfwd/hessian) trace,
+    retry without them.  The criteria are pure, so the failed trace
+    commits nothing.  (The f64 retry path still uses the distributed
+    Cholesky's own custom VJP, so full forward-mode through the SHARDED
+    criteria remains unsupported -- same envelope as round 2 -- but the
+    error now surfaces from the f64 path instead of being mis-detected
+    by tracer introspection.)"""
+    from gpmp_tpu.ops.mixed import is_fwd_mode_error
+
+    try:
+        return trace_criterion(True)
+    except TypeError as e:
+        if not is_fwd_mode_error(e):
+            raise
+        return trace_criterion(False)
 
 
 def sharded_negative_log_restricted_likelihood(
@@ -249,23 +283,29 @@ def sharded_negative_log_restricted_likelihood(
 
     Identical value to core.likelihood.negative_log_restricted_likelihood
     (impl='profiled'); differentiable end-to-end for value_and_grad."""
-    cov = _make_cov(model, covparam, xi, zi, mesh, axis_name)
-    K = cov(covparam)
-    Pd = model.mean(xi, model.meanparam)
-    n, q = Pd.shape
-    rhs = jnp.concatenate([zi.reshape(-1, 1), Pd], axis=1)
-    X, ldetK = _engine_solve_and_logdet(K, rhs, mesh, axis_name, block)
-    Kinv_z = X[:, 0]
-    Kinv_P = X[:, 1:]
-    M = Pd.T @ Kinv_P
-    Cm = jnp.linalg.cholesky(M)
-    b = Pd.T @ Kinv_z
-    u = gnp.solve_triangular(Cm, b, lower=True)
-    quad = zi @ Kinv_z - u @ u
-    ldetM = 2.0 * jnp.sum(jnp.log(jnp.diag(Cm)))
-    ldetPtP = gnp.logdet(Pd.T @ Pd)
-    L = 0.5 * ((n - q) * log(2.0 * pi) + ldetK + ldetM - ldetPtP + quad)
-    return _nan_to_inf(L.reshape(()))
+
+    def trace(mixed_ok):
+        cov = _make_cov(model, covparam, xi, zi, mesh, axis_name, mixed_ok)
+        K = cov(covparam)
+        Pd = model.mean(xi, model.meanparam)
+        n, q = Pd.shape
+        rhs = jnp.concatenate([zi.reshape(-1, 1), Pd], axis=1)
+        X, ldetK = _engine_solve_and_logdet(
+            K, rhs, mesh, axis_name, block, mixed_ok
+        )
+        Kinv_z = X[:, 0]
+        Kinv_P = X[:, 1:]
+        M = Pd.T @ Kinv_P
+        Cm = jnp.linalg.cholesky(M)
+        b = Pd.T @ Kinv_z
+        u = gnp.solve_triangular(Cm, b, lower=True)
+        quad = zi @ Kinv_z - u @ u
+        ldetM = 2.0 * jnp.sum(jnp.log(jnp.diag(Cm)))
+        ldetPtP = gnp.logdet(Pd.T @ Pd)
+        L = 0.5 * ((n - q) * log(2.0 * pi) + ldetK + ldetM - ldetPtP + quad)
+        return _nan_to_inf(L.reshape(()))
+
+    return _fwdmode_retry(trace)
 
 
 def sharded_negative_log_likelihood_zero_mean(
@@ -274,9 +314,15 @@ def sharded_negative_log_likelihood_zero_mean(
     """Zero-mean NLL with the covariance sharded over the mesh
     (see sharded_negative_log_restricted_likelihood for the gram
     backward strategy)."""
-    cov = _make_cov(model, covparam, xi, zi, mesh, axis_name)
-    K = cov(covparam)
-    n = K.shape[0]
-    Kinv_z, ldetK = _engine_solve_and_logdet(K, zi, mesh, axis_name, block)
-    L = 0.5 * (n * log(2.0 * pi) + ldetK + zi @ Kinv_z)
-    return _nan_to_inf(L.reshape(()))
+
+    def trace(mixed_ok):
+        cov = _make_cov(model, covparam, xi, zi, mesh, axis_name, mixed_ok)
+        K = cov(covparam)
+        n = K.shape[0]
+        Kinv_z, ldetK = _engine_solve_and_logdet(
+            K, zi, mesh, axis_name, block, mixed_ok
+        )
+        L = 0.5 * (n * log(2.0 * pi) + ldetK + zi @ Kinv_z)
+        return _nan_to_inf(L.reshape(()))
+
+    return _fwdmode_retry(trace)

@@ -266,13 +266,27 @@ def _streamed_level2_g(H, MF32, chunk):
     return g1, g2
 
 
+# below this chunk the stream degenerates toward an n-iteration scan of
+# skinny dots (severe compile/runtime cliff); use the dense sandwich
+_LEVEL2_CHUNK_FLOOR = 128
+
+
 def _level2_chunk(n):
-    """Streaming chunk for _streamed_level2_g: divides n, caps the
-    hoisted split-operand temp (8 f32 words x n x chunk) at ~0.5 GB."""
-    c = max(n // 8, 1)
-    while c > 1 and (n % c or n * c * 32 > (1 << 29)):
-        c //= 2
-    return max(c, 1)
+    """Streaming chunk for _streamed_level2_g: the LARGEST divisor of n
+    that caps the hoisted split-operand temp (8 f32 words x n x chunk)
+    at ~0.5 GB.  Searches true divisors (not just n//8 halvings) so n
+    with large odd factors still gets a usable chunk; callers must
+    treat results below _LEVEL2_CHUNK_FLOOR as "don't stream"."""
+    cap = max((1 << 29) // (32 * n), 1)
+    best = 1
+    i = 1
+    while i * i <= n:
+        if n % i == 0:
+            for c in (i, n // i):
+                if best < c <= cap:
+                    best = c
+        i += 1
+    return best
 
 
 # R = K - L L^T in f64, returned f32 (triangular panels, ~n^3/3
@@ -342,14 +356,19 @@ def _mp_core(K, B, mesh, axis_name, block, n_refine):
             jnp.log(jnp.diagonal(L32_).astype(jnp.float64))
         )
         F32, MF32 = _plain_f32_tri_pair(jnp.eye(n, dtype=jnp.float32) + H_)
-        if _single_device(mesh, axis_name) and n >= 12288 and n % 8 == 0:
+        lvl2_chunk = (
+            _level2_chunk(n)
+            if _single_device(mesh, axis_name) and n >= 12288
+            else 0
+        )
+        if lvl2_chunk >= _LEVEL2_CHUNK_FLOOR:
             # the dense sandwich's two emulated-f64 (n, n) matmuls cost
             # ~16 GB of split-operand HLO temps at n=16384 (one batched
             # f32[8,n,n] accumulator + two bf16[8,n,n] operand splits)
             # -- THE round-2 single-chip OOM.  Streamed with both dot
             # operands blocked the branch peaks at ~2 n^2 f64 + one
             # chunk's split temps (see _streamed_level2_g).
-            g1, g2 = _streamed_level2_g(H_, MF32, _level2_chunk(n))
+            g1, g2 = _streamed_level2_g(H_, MF32, lvl2_chunk)
         else:
             E64 = jnp.eye(n, dtype=jnp.float64) + H_.astype(jnp.float64)
             MF64 = MF32.astype(jnp.float64)

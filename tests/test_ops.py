@@ -210,10 +210,12 @@ def test_mp_engine_under_vmap():
 
 def test_mixed_engine_forward_mode_fallback():
     """jax.hessian / jacfwd through the engine dispatchers must not
-    raise under GPMP_CHOL_ENGINE=mixed: forward-mode traces are demoted
-    to the exact f64 path (core/linalg._engine_for), so the Hessian
-    matches the f64 engine exactly while reverse mode keeps the fast
-    custom-VJP path."""
+    raise under GPMP_CHOL_ENGINE=mixed: the dispatchers catch the
+    custom_vjp trace-time TypeError and retry on the custom_jvp twin
+    (ops/mixed.py mp_solve_and_logdet_fwdmode), so second-order
+    autodiff runs ON the mixed engine -- the Hessian therefore matches
+    the f64 engine to the engine's accuracy (~1e-7 relative), not
+    bitwise, while reverse mode keeps the fast custom-VJP path."""
     import os
 
     from gpmp_tpu.core.linalg import solve_and_logdet
@@ -253,9 +255,71 @@ def test_mixed_engine_forward_mode_fallback():
         else:
             os.environ["GPMP_CHOL_ENGINE"] = prev
 
+    scale = np.max(np.abs(np.asarray(H_f64)))
     np.testing.assert_allclose(np.asarray(H_mixed), np.asarray(H_f64),
-                               rtol=1e-10, atol=1e-12)
+                               rtol=1e-6, atol=1e-6 * scale)
     np.testing.assert_allclose(np.asarray(Jfwd), np.asarray(H_f64),
-                               rtol=1e-10, atol=1e-12)
+                               rtol=1e-6, atol=1e-6 * scale)
     np.testing.assert_allclose(np.asarray(g_mixed), np.asarray(g_f64),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_mixed_engine_hessian_through_model_criterion():
+    """End-to-end second-order check (VERDICT r2 item 6 "Done" bar):
+    jax.hessian of the REML criterion through Model + the engine
+    dispatchers works under GPMP_CHOL_ENGINE=mixed without the old
+    tracer-introspection hack, and agrees with the f64 engine."""
+    import os
+
+    import gpmp_tpu as gp
+
+    N, D = 256, 2
+    rng = np.random.default_rng(0)
+    xi_np = rng.uniform(size=(N, D))
+    xi = gnp.asarray(xi_np)
+    zi = gnp.asarray(np.sin(3 * xi_np[:, 0]) + 0.1 * rng.normal(size=N))
+
+    def constant_mean(x, param):
+        return gnp.ones((x.shape[0], 1))
+
+    def kernel(x, y, param, pairwise=False):
+        sigma2 = gnp.exp(param[0])
+        loginvrho = param[2:]
+        if y is x or y is None:
+            noise = gnp.exp(param[1])
+            if pairwise:
+                return sigma2 * gnp.ones((x.shape[0],))
+            K = gnp.scaled_distance(loginvrho, x, x)
+            return sigma2 * gp.kernel.maternp_kernel(2, K) + (
+                noise * gnp.eye(K.shape[0])
+            )
+        Kd = (gnp.scaled_distance_elementwise if pairwise
+              else gnp.scaled_distance)(loginvrho, x, y)
+        return sigma2 * gp.kernel.maternp_kernel(2, Kd)
+
+    model = gp.Model(constant_mean, kernel)
+    p0 = gnp.asarray(np.array([0.0, np.log(1e-2), np.log(2.0), np.log(2.0)]))
+
+    def f(p):
+        return model.negative_log_restricted_likelihood(p, xi, zi)
+
+    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    try:
+        os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        H_mixed = np.asarray(jax.hessian(f)(p0))
+        g_fwd = np.asarray(jax.jacfwd(f)(p0))
+        g_rev = np.asarray(jax.grad(f)(p0))
+        FI = np.asarray(model.fisher_information_torch(xi, p0))
+        os.environ["GPMP_CHOL_ENGINE"] = "f64"
+        H_f64 = np.asarray(jax.hessian(f)(p0))
+    finally:
+        if prev is None:
+            os.environ.pop("GPMP_CHOL_ENGINE", None)
+        else:
+            os.environ["GPMP_CHOL_ENGINE"] = prev
+
+    assert np.isfinite(H_mixed).all()
+    assert np.isfinite(FI).all()
+    scale = np.max(np.abs(H_f64))
+    assert np.max(np.abs(H_mixed - H_f64)) / scale < 1e-6
+    np.testing.assert_allclose(g_fwd, g_rev, rtol=1e-8, atol=1e-9)

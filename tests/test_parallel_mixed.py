@@ -192,14 +192,18 @@ def test_streamed_level2_sandwich_matches_dense():
 
 
 def test_level2_chunk_divides_and_bounds():
-    from gpmp_tpu.parallel.mixed import _level2_chunk
+    from gpmp_tpu.parallel.mixed import _level2_chunk, _LEVEL2_CHUNK_FLOOR
 
     for n in (256, 4096, 12288, 16384, 24576, 32768):
         c = _level2_chunk(n)
         assert n % c == 0
-        assert c <= max(n // 8, 1)
         if n >= 12288:
             assert n * c * 32 <= (1 << 29)  # hoisted temp <= 0.5 GB
+    # divisor search: n with large odd factors still gets a usable chunk
+    # (ADVICE r2: the old n//8-halving search collapsed 12296 to 1)
+    assert _level2_chunk(12296) >= _LEVEL2_CHUNK_FLOOR
+    # primes get chunk 1 -> caller takes the dense sandwich branch
+    assert _level2_chunk(12289) == 1
 
 
 def test_chunked_gram_pullback_matches_vjp():
