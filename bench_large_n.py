@@ -195,7 +195,9 @@ def run_parity(n, block, n_devices=8, device="cpu", engine=None):
         import jax
     import gpmp_tpu.num as gnp
     from gpmp_tpu.parallel import make_mesh, sharded_predict
+    from gpmp_tpu.parallel.chol import sharded_cholesky
     from gpmp_tpu.parallel.likelihood import (
+        sharded_covariance,
         sharded_negative_log_restricted_likelihood,
     )
 
@@ -204,21 +206,37 @@ def run_parity(n, block, n_devices=8, device="cpu", engine=None):
     model.covparam = gnp.asarray(covparam)
     mesh = make_mesh(n_devices, axis_name="shard")
 
+    # ONE distributed factorization, shared by the REML value and the
+    # predict through the public factor= API (predict-after-fit
+    # pattern); the oracle below validates both quantities against its
+    # own independent factorization, so the shared factor is fully
+    # cross-checked.
+    t0 = time.perf_counter()
+    K = sharded_covariance(model, gnp.asarray(covparam), gnp.asarray(xi),
+                           mesh)
+    L = sharded_cholesky(K, mesh, axis_name="shard", block=block)
+    jax.block_until_ready(L)
+    del K
+    t_factor = time.perf_counter() - t0
+    print(f"[sharded] gram+cholesky in {t_factor:.1f}s (incl. compile)",
+          file=sys.stderr, flush=True)
+
     t0 = time.perf_counter()
     v_sh = float(sharded_negative_log_restricted_likelihood(
         model, gnp.asarray(covparam), gnp.asarray(xi), gnp.asarray(zi),
-        mesh, block=block,
+        mesh, block=block, factor=L,
     ))
     t_reml = time.perf_counter() - t0
     print(f"[sharded] REML value in {t_reml:.1f}s (incl. compile)",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     zpm_sh, zpv_sh = sharded_predict(model, xi, zi, xt, mesh, block=block,
-                                     convert_out=True)
+                                     convert_out=True, factor=L)
     t_pred = time.perf_counter() - t0
     print(f"[sharded] predict in {t_pred:.1f}s (incl. compile)",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
+    del L
 
     v_np, zpm_np, zpv_np = oracle_reml_and_predict(xi, zi, xt, covparam)
 

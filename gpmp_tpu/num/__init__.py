@@ -91,7 +91,7 @@ def _machine_fingerprint():
 # could genuinely mis-execute.  The cache's payoff is the TPU tunnel
 # (server-side compiles), which keeps it.
 _platforms = str(getattr(jax.config, "jax_platforms", "") or "")
-_cpu_only = _platforms.strip().lower() == "cpu"
+_cpu_only = _platforms.strip().lower() == "cpu" and not _cache_spec
 
 if _cache_spec != "0" and not _user_cache and not _cpu_only:
     # honor a cache dir the host application configured before import;

@@ -45,15 +45,23 @@ from gpmp_tpu.ops.refine import newton_tri_inv, refined_cholesky, refined_solve_
 
 
 def _gather_rows(x_loc, n, axis_name):
-    """all-gather row blocks as psum of a zero-padded slab.
+    """all-gather row blocks across the mesh axis.
 
-    Functionally lax.all_gather(x_loc, tiled=True), but its transpose is
-    a local dynamic_slice instead of an f64 reduce-scatter, which XLA's
-    TPU float64-emulation pass does not implement (observed: 'While
+    On TPU: psum of a zero-padded slab.  Functionally
+    lax.all_gather(x_loc, tiled=True), but its transpose is a local
+    dynamic_slice instead of an f64 reduce-scatter, which XLA's TPU
+    float64-emulation pass does not implement (observed: 'While
     rewriting computation to not contain X64 element types ... HLO
     %reduce_scatter f64' compile error on v5e).  Costs an all-reduce
     (2x all-gather ICI traffic) -- acceptable for the (n, block) panels.
+
+    On CPU (the virtual-mesh path): the real all_gather.  f64
+    reduce-scatter exists there, and the psum emulation's
+    ndev x (n, block) zero-padded adds are pure single-core memory
+    traffic that dominated the n>=8192 virtual-mesh factorization.
     """
+    if jax.default_backend() == "cpu":
+        return lax.all_gather(x_loc, axis_name, axis=0, tiled=True)
     n_loc = x_loc.shape[0]
     pad = jnp.zeros((n,) + x_loc.shape[1:], x_loc.dtype)
     off = lax.axis_index(axis_name) * jnp.int32(n_loc)
@@ -98,12 +106,74 @@ def _single_device(mesh, axis_name):
     return mesh is None or mesh.shape[axis_name] == 1
 
 
+def _use_unrolled(nb):
+    """Choose the python-unrolled factorization loop over the fori_loop.
+
+    The fori_loop body must have static shapes, so every panel's
+    trailing update runs FULL-width ((n_loc, block) x (block, n)): about
+    6x the n^3/3 FLOPs a Cholesky needs (2x from columns that are
+    already final, 3x from rows).  Unrolling makes the panel index a
+    Python int, so slices shrink with the panel and the update touches
+    only the true trailing block -- measured 6x wall-clock on the
+    single-device CPU path at n=8192.  The price is an HLO that grows
+    with n/block, so unrolling is capped: generously on CPU (host-local
+    compiles), conservatively elsewhere (tunneled TPU compiles are
+    expensive).  GPMP_CHOL_UNROLL=0/1 overrides.
+    """
+    import os
+
+    env = os.environ.get("GPMP_CHOL_UNROLL", "")
+    if env in ("0", "1"):
+        return env == "1"
+    cap = 160 if jax.default_backend() == "cpu" else 32
+    return nb <= cap
+
+
+def _panel_factor(D, panel, panel_impl):
+    """(Ljj, T): factor the (block, block) diagonal block and solve the
+    (rows, block) panel T = panel Ljj^{-T}."""
+    if panel_impl == "refined":
+        Ljj, Mjj = refined_cholesky(D, with_inverse=True)
+        return Ljj, refined_solve_lower(Ljj, Mjj, panel)
+    Ljj = jnp.linalg.cholesky(D)
+    return Ljj, solve_triangular(Ljj, panel.T, lower=True).T
+
+
+def _blocked_cholesky_single_unrolled(K, block, panel_impl):
+    """Python-unrolled single-device blocked Cholesky: the trailing
+    submatrix S shrinks each panel, so the SYRK update is
+    (m-block)^2 x block -- exactly the n^3/3 MACs of the textbook
+    algorithm (see _use_unrolled)."""
+    n = K.shape[0]
+    nb = n // block
+    dtype = K.dtype
+    S = K
+    cols = []
+    for j in range(nb):
+        m = S.shape[0]  # n - j*block
+        D = S[:block, :block]
+        _Ljj, T = _panel_factor(D, S[:, :block], panel_impl)
+        if j < nb - 1:
+            Ttail = T[block:]
+            S = S[block:, block:] - jnp.dot(
+                Ttail, Ttail.T, precision=jax.lax.Precision.HIGHEST
+            )
+        col = (
+            jnp.concatenate([jnp.zeros((n - m, block), dtype), T], axis=0)
+            if m < n else T
+        )
+        cols.append(col)
+    return jnp.tril(jnp.concatenate(cols, axis=1))
+
+
 def _blocked_cholesky_single(K, block, panel_impl):
     """Single-device blocked right-looking Cholesky: the per_shard panel
     algorithm with the gathers gone (the slab IS the matrix)."""
     n = K.shape[0]
     nb = n // block
     dtype = K.dtype
+    if _use_unrolled(nb):
+        return _blocked_cholesky_single_unrolled(K, block, panel_impl)
     grow = jnp.arange(n, dtype=jnp.int32)[:, None]
 
     def step(j, Kc):
@@ -152,31 +222,63 @@ def _sharded_cholesky_impl(K, mesh, axis_name="shard", block=256,
         idx = lax.axis_index(axis_name)
         off = idx * n_loc
         grow_loc = off + jnp.arange(n_loc, dtype=jnp.int32)[:, None]
-        grow_all = jnp.arange(n, dtype=jnp.int32)[:, None]
 
-        def step(j, K_loc):
-            c0 = j * block
+        def panel_step(j, K_loc, c0):
+            """One panel: gather, factor, local solve, trailing update.
+            c0 static (unrolled) or traced (fori_loop); in the static
+            case the trailing update restricts to the true trailing
+            columns and skips devices whose slab is already final
+            (~3x fewer executed FLOPs; see _use_unrolled)."""
+            static = isinstance(c0, int)
             panel_loc = lax.dynamic_slice(K_loc, (0, c0), (n_loc, block))
             panel = _gather_rows(panel_loc, n, axis_name)
             D = lax.dynamic_slice(panel, (c0, 0), (block, block))
             # my rows of the panel's L: A_ij L_jj^{-T}; for the diagonal
             # block rows this equals L_jj itself (D L_jj^{-T} = L_jj)
-            if panel_impl == "refined":
-                Ljj, Mjj = refined_cholesky(D, with_inverse=True)
-                T_loc = refined_solve_lower(Ljj, Mjj, panel_loc)
-            else:
-                Ljj = jnp.linalg.cholesky(D)
-                T_loc = solve_triangular(
-                    Ljj, panel_loc.T, lower=True
-                ).T
+            _Ljj, T_loc = _panel_factor(D, panel_loc, panel_impl)
             # trailing rows only (global row >= c0 + block)
             Mt_loc = jnp.where(grow_loc >= c0 + block, T_loc, 0.0)
             Mt_all = _gather_rows(Mt_loc, n, axis_name)
-            K_loc = K_loc - Mt_loc @ Mt_all.T
+            if static and c0 + block < n:
+                w0 = c0 + block
+
+                def _upd(ops):
+                    Mt_l, Mt_tail = ops
+                    return jnp.dot(
+                        Mt_l, Mt_tail.T,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+
+                def _skip(ops):
+                    z = jnp.zeros((n_loc, n - w0), dtype)
+                    # match _upd's varying-manual-axes type under
+                    # shard_map (the constant is otherwise unvarying)
+                    return jax.lax.pvary(z, axis_name)
+
+                # devices whose slab is entirely above the trailing
+                # block have an all-zero Mt_loc: skip their update
+                # (real branch on CPU; select-both on TPU, no worse)
+                upd = lax.cond(
+                    off + n_loc > w0, _upd, _skip,
+                    (Mt_loc, Mt_all[w0:]),
+                )
+                K_loc = jnp.concatenate(
+                    [K_loc[:, :w0], K_loc[:, w0:] - upd], axis=1
+                )
+            elif not static:
+                K_loc = K_loc - Mt_loc @ Mt_all.T
             new_panel = jnp.where(grow_loc >= c0, T_loc, panel_loc)
             return lax.dynamic_update_slice(K_loc, new_panel, (0, c0))
 
-        K_loc = lax.fori_loop(0, nb, step, K_loc)
+        if _use_unrolled(nb):
+            for j in range(nb):
+                K_loc = panel_step(j, K_loc, j * block)
+        else:
+            K_loc = lax.fori_loop(
+                0, nb,
+                lambda j, Kl: panel_step(j, Kl, j * block),
+                K_loc,
+            )
         # zero the strict upper triangle of this slab
         col = jnp.arange(n, dtype=jnp.int32)[None, :]
         return jnp.where(col <= grow_loc, K_loc, jnp.zeros((), dtype))
@@ -363,17 +465,26 @@ def _sharded_chol_bwd(mesh, axis_name, block, panel_impl, L, L_bar):
 _sharded_chol_cvjp.defvjp(_sharded_chol_fwd, _sharded_chol_bwd)
 
 
-def sharded_cholesky_solve(K, B, mesh, axis_name="shard", block=256):
-    """(K^{-1} B, L) with K row-sharded over the mesh."""
-    L = sharded_cholesky(K, mesh, axis_name=axis_name, block=block)
+def sharded_cholesky_solve(K, B, mesh, axis_name="shard", block=256,
+                           factor=None):
+    """(K^{-1} B, L) with K row-sharded over the mesh.
+
+    factor: pass a previously computed L (from sharded_cholesky) to
+    skip the O(n^3) factorization -- the predict-after-fit pattern,
+    where the fit's factor serves every subsequent solve.
+    """
+    L = factor if factor is not None else sharded_cholesky(
+        K, mesh, axis_name=axis_name, block=block
+    )
     y = blocked_solve_lower(L, B, block=block, mesh=mesh, axis_name=axis_name)
     x = blocked_solve_upper_t(L, y, block=block, mesh=mesh,
                               axis_name=axis_name)
     return x, L
 
 
-def sharded_solve_and_logdet(K, B, mesh, axis_name="shard", block=256):
+def sharded_solve_and_logdet(K, B, mesh, axis_name="shard", block=256,
+                             factor=None):
     """(K^{-1} B, log det K) with K row-sharded over the mesh."""
     X, L = sharded_cholesky_solve(K, B, mesh, axis_name=axis_name,
-                                  block=block)
+                                  block=block, factor=factor)
     return X, 2.0 * jnp.sum(jnp.log(jnp.diag(L)))

@@ -43,9 +43,14 @@ def _largest_divisor_leq(n, bound):
     return best
 
 
-def _engine_solve_and_logdet(K, rhs, mesh, axis_name, block, mixed_ok=True):
+def _engine_solve_and_logdet(K, rhs, mesh, axis_name, block, mixed_ok=True,
+                             factor=None):
     """Dispatch to the mixed-precision sharded engine when configured
     (GPMP_CHOL_ENGINE=mixed), else the exact-f64 distributed Cholesky."""
+    if factor is not None:
+        return sharded_solve_and_logdet(
+            K, rhs, mesh, axis_name=axis_name, block=block, factor=factor
+        )
     if mixed_ok and K.dtype == jnp.float64 and _engine_for(K, rhs) == "mixed":
         return sharded_mp_solve_and_logdet(
             K, rhs, mesh, axis_name=axis_name, block=block
@@ -277,12 +282,18 @@ def _fwdmode_retry(trace_criterion):
 
 
 def sharded_negative_log_restricted_likelihood(
-    model, covparam, xi, zi, mesh, axis_name="shard", block=256
+    model, covparam, xi, zi, mesh, axis_name="shard", block=256, factor=None
 ):
     """Profiled REML with the covariance sharded over the mesh.
 
     Identical value to core.likelihood.negative_log_restricted_likelihood
-    (impl='profiled'); differentiable end-to-end for value_and_grad."""
+    (impl='profiled'); differentiable end-to-end for value_and_grad.
+
+    factor: a precomputed distributed Cholesky factor of THE COVARIANCE
+    AT covparam (sharded_cholesky's L) -- skips the O(n^3)
+    refactorization.  VALUE ONLY: the factor is a constant to autodiff,
+    so gradients w.r.t. covparam would silently miss the factorization
+    term; never pass factor under jax.grad."""
 
     def trace(mixed_ok):
         cov = _make_cov(model, covparam, xi, zi, mesh, axis_name, mixed_ok)
@@ -291,7 +302,7 @@ def sharded_negative_log_restricted_likelihood(
         n, q = Pd.shape
         rhs = jnp.concatenate([zi.reshape(-1, 1), Pd], axis=1)
         X, ldetK = _engine_solve_and_logdet(
-            K, rhs, mesh, axis_name, block, mixed_ok
+            K, rhs, mesh, axis_name, block, mixed_ok, factor=factor
         )
         Kinv_z = X[:, 0]
         Kinv_P = X[:, 1:]

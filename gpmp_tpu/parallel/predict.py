@@ -101,7 +101,7 @@ def sharded_sample_paths(model, xt, nb_paths, mesh, axis_name="shard",
 
 
 def sharded_predict(model, xi, zi, xt, mesh, axis_name="shard", block=256,
-                    convert_out=False):
+                    convert_out=False, factor=None):
     """(zt_posterior_mean, zt_posterior_variance) with the training
     covariance sharded over the mesh.
 
@@ -109,16 +109,25 @@ def sharded_predict(model, xi, zi, xt, mesh, axis_name="shard", block=256,
     posterior variance) for 'zero', 'parameterized' and
     'linear_predictor' mean types; the n x n work runs through
     sharded_cholesky + blocked solves.
+
+    factor: a previously computed distributed Cholesky factor of the
+    training covariance (sharded_cholesky's L) -- predict-after-fit
+    then skips the O(n^3) refactorization and costs only the blocked
+    solves.
     """
     xi = gnp.asarray(xi)
     zi = gnp.asarray(zi).reshape(-1)
     xt = gnp.asarray(xt)
     covparam = model.covparam
 
-    K = sharded_covariance(model, covparam, xi, mesh, axis_name=axis_name)
     Kit = sharded_cross_covariance(model, covparam, xi, xt, mesh,
                                    axis_name=axis_name)
-    L = sharded_cholesky(K, mesh, axis_name=axis_name, block=block)
+    if factor is None:
+        K = sharded_covariance(model, covparam, xi, mesh,
+                               axis_name=axis_name)
+        L = sharded_cholesky(K, mesh, axis_name=axis_name, block=block)
+    else:
+        L = factor
 
     def ksolve(B):
         y = blocked_solve_lower(L, B, block=block, mesh=mesh,

@@ -94,15 +94,20 @@ def test_no_K_sized_collective_in_factorization():
     (n, block) panel gathers per step x n/block steps.  Statically: the
     compiled HLO must contain collectives of at most panel size (with
     the f64 emulation's (hi, lo) split, 2x panel bytes) -- never an
-    (n, n) slab."""
+    (n, n) slab -- and their total payload must stay at the 2 n^2
+    design bound.  (The unrolled factorization materializes the two
+    gathers of every panel in the HLO; the fori_loop form has one loop
+    body executed n/block times -- both are covered by the per-op and
+    total bounds.)"""
     K = _spd(N)
     hlo = _compile_chol(8, K).as_text()
     sizes = _collective_payload_bytes(hlo)
     assert sizes, "expected panel-gather collectives in the sharded HLO"
     panel_bytes = N * BLOCK * 8
     assert max(sizes) <= 2 * panel_bytes, (max(sizes), panel_bytes)
-    # and the factorization's gathers are exactly the two panel ones
-    assert len(sizes) <= 6, sizes
+    nb = N // BLOCK
+    total_bound = 2 * nb * 2 * panel_bytes  # 2 gathers/panel, 2x slack
+    assert sum(sizes) <= total_bound, (sum(sizes), total_bound)
 
 
 def test_sharded_reml_memory_drops_with_mesh_size():
