@@ -29,7 +29,12 @@ def main():
                                             "gpmp_tpu_example*.py")))
     env = dict(os.environ)
     env["MPLBACKEND"] = "Agg"
-    env.setdefault("PYTHONPATH", here)
+    # APPEND the repo to PYTHONPATH: replacing it would drop this
+    # environment's sitecustomize dir (/root/.axon_site), which is what
+    # registers the axon TPU backend.
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (env.get("PYTHONPATH", ""), here) if p
+    )
 
     results = []
     for path in scripts:
