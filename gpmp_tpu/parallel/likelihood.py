@@ -296,8 +296,14 @@ def sharded_negative_log_restricted_likelihood(
     term; never pass factor under jax.grad."""
 
     def trace(mixed_ok):
-        cov = _make_cov(model, covparam, xi, zi, mesh, axis_name, mixed_ok)
-        K = cov(covparam)
+        if factor is None:
+            cov = _make_cov(model, covparam, xi, zi, mesh, axis_name,
+                            mixed_ok)
+            K = cov(covparam)
+        else:
+            # the factored solve never reads K; skip the O(n^2) gram
+            # (eager callers would otherwise materialize it for nothing)
+            K = factor
         Pd = model.mean(xi, model.meanparam)
         n, q = Pd.shape
         rhs = jnp.concatenate([zi.reshape(-1, 1), Pd], axis=1)

@@ -247,3 +247,60 @@ def test_mh_sampling_from_mesh_fit():
     s = np.asarray(samples)
     assert np.isfinite(s).all()
     assert mh._sequential_target
+
+
+def test_factor_reuse_value_and_predict_parity():
+    """factor= reuse (predict-after-fit): REML value and predict with a
+    precomputed distributed factor must equal the self-factoring path."""
+    import jax
+    import jax.numpy as jnp
+    from gpmp_tpu.parallel import make_mesh, sharded_predict
+    from gpmp_tpu.parallel.chol import sharded_cholesky
+    from gpmp_tpu.parallel.likelihood import (
+        sharded_covariance,
+        sharded_negative_log_restricted_likelihood,
+    )
+
+    n, d, block = 512, 2, 128
+    rng = np.random.default_rng(5)
+    xi = rng.uniform(size=(n, d))
+    zi = np.sin(3 * xi[:, 0]) + 0.1 * rng.normal(size=n)
+    xt = rng.uniform(size=(8, d))
+
+    def noisy_kernel(x, y, param, pairwise=False):
+        sigma2 = gnp.exp(param[0])
+        noise = gnp.exp(param[1])
+        loginvrho = param[2:]
+        if y is x or y is None:
+            if pairwise:
+                return (sigma2 + noise) * gnp.ones((x.shape[0],))
+            Dm = gnp.scaled_distance(loginvrho, x, x)
+            return sigma2 * gp.kernel.maternp_kernel(2, Dm) + (
+                noise * gnp.eye(Dm.shape[0])
+            )
+        Dm = (gnp.scaled_distance_elementwise if pairwise
+              else gnp.scaled_distance)(loginvrho, x, y)
+        return sigma2 * gp.kernel.maternp_kernel(2, Dm)
+
+    model = gp.Model(constant_mean, noisy_kernel)
+    p0 = gnp.asarray(np.array([0.0, np.log(1e-2), 0.3, 0.3]))
+    model.covparam = p0
+    mesh = make_mesh(4, axis_name="shard")
+    xi_d, zi_d = gnp.asarray(xi), gnp.asarray(zi)
+
+    v_self = float(sharded_negative_log_restricted_likelihood(
+        model, p0, xi_d, zi_d, mesh, block=block))
+    zpm_self, zpv_self = sharded_predict(model, xi, zi, xt, mesh,
+                                         block=block, convert_out=True)
+
+    K = sharded_covariance(model, p0, xi_d, mesh)
+    L = sharded_cholesky(K, mesh, axis_name="shard", block=block)
+    v_fac = float(sharded_negative_log_restricted_likelihood(
+        model, p0, xi_d, zi_d, mesh, block=block, factor=L))
+    zpm_fac, zpv_fac = sharded_predict(model, xi, zi, xt, mesh,
+                                       block=block, convert_out=True,
+                                       factor=L)
+
+    assert abs(v_fac - v_self) <= 1e-10 * max(abs(v_self), 1.0)
+    np.testing.assert_allclose(zpm_fac, zpm_self, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(zpv_fac, zpv_self, rtol=1e-10, atol=1e-12)
