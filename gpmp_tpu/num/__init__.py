@@ -855,12 +855,14 @@ class BatchDifferentiableSelectionCriterion:
 class SecondOrderDifferentiableFunction:
     """Value/gradient/Hessian of a scalar function (jax.hessian).
 
-    jax.hessian is forward-over-reverse; the mixed Cholesky engine's
-    custom VJP supports reverse mode only, so when the target function
-    routes through it the Hessian trace raises a TypeError.  Rather
-    than surfacing that to the caller, hessian() retraces once with
-    GPMP_CHOL_ENGINE=f64 pinned (engine dispatch is a trace-time env
-    read) and logs the switch."""
+    jax.hessian is forward-over-reverse; library criteria routed
+    through the mixed Cholesky engine support it natively (the engine
+    dispatchers retry forward-mode traces on custom_jvp twins, see
+    core/linalg.py).  The TypeError fallback below is a backstop for
+    user functions that call the engine's custom-VJP entry points
+    DIRECTLY (bypassing the dispatchers): such Hessians retrace once
+    with GPMP_CHOL_ENGINE=f64 pinned (engine dispatch is a trace-time
+    env read), logged."""
 
     def __init__(self, f):
         self.f = f
