@@ -83,22 +83,38 @@ def _machine_fingerprint():
     return hashlib.sha256(raw).hexdigest()[:10]
 
 
-# CPU-only processes (tests, the multichip dryrun) skip the persistent
-# cache: serialized XLA:CPU executables are AOT artifacts whose embedded
-# tuning pseudo-features (+prefer-no-scatter, ...) fail the loader's
-# host-feature check even on the SAME machine, flooding stderr with
-# cpu_aot_loader SIGILL warnings -- and a cache shared across hosts
-# could genuinely mis-execute.  The cache's payoff is the TPU tunnel
-# (server-side compiles), which keeps it.
+# The persistent cache is ON by default only when a non-CPU backend is
+# named in jax_platforms (tpu, axon tunnel, ...): that's where it pays
+# (server-side compiles).  Plain CPU processes -- tests, the multichip
+# dryrun, and CPU-only hosts with jax_platforms unset -- skip it:
+# serialized XLA:CPU executables are AOT artifacts whose embedded tuning
+# pseudo-features (+prefer-no-scatter, ...) fail the loader's
+# host-feature check even on the SAME machine, and a stale entry has
+# been observed to desynchronize cross-module collectives and SIGABRT
+# the process (round-3 postmortem).  GPMP_COMPILE_CACHE=<dir> still
+# opts in explicitly anywhere.
 _platforms = str(getattr(jax.config, "jax_platforms", "") or "")
-_cpu_only = _platforms.strip().lower() == "cpu" and not _cache_spec
+_noncpu_backend = any(
+    p.strip() and p.strip().lower() != "cpu" for p in _platforms.split(",")
+)
 
-if _cache_spec != "0" and not _user_cache and not _cpu_only:
+# Bump when the cache install policy changes in a way that can
+# invalidate old entries (e.g. enabling/disabling the XLA-internal AOT
+# sub-caches below).  Old directories are simply abandoned: a cache
+# must degrade to recompiling, never to loading an incompatible entry.
+_CACHE_FORMAT_VERSION = 2
+
+if _cache_spec != "0" and not _user_cache and (_noncpu_backend or _cache_spec):
     # honor a cache dir the host application configured before import;
-    # only install ours when none is set (see README "side effects")
-    _cache_dir = _cache_spec or os.path.join(
-        os.path.expanduser("~"), ".cache", "gpmp_tpu", "xla",
-        _machine_fingerprint(),
+    # only install ours when none is set (see README "side effects").
+    # Every directory -- including an explicit GPMP_COMPILE_CACHE=<dir>
+    # -- gets a machine-fingerprint + format-version leaf so entries
+    # can never cross hosts (shared NFS homes) or policy generations.
+    _cache_dir = os.path.join(
+        _cache_spec or os.path.join(
+            os.path.expanduser("~"), ".cache", "gpmp_tpu", "xla"
+        ),
+        "%s-v%d" % (_machine_fingerprint(), _CACHE_FORMAT_VERSION),
     )
     try:
         os.makedirs(_cache_dir, exist_ok=True)

@@ -65,7 +65,17 @@ def is_fwd_mode_error(e):
     2's tracer-attribute introspection (walking .primal/.tangent) with
     the supported failure signal.
     """
-    return isinstance(e, TypeError) and "custom_vjp" in str(e)
+    if not isinstance(e, TypeError):
+        return False
+    # JAX has reworded this error across releases; match the stable
+    # vocabulary of the rejection rather than one exact phrase (a
+    # rewording would otherwise silently disable the retry path --
+    # ADVICE r3).  test_mixed_engine_forward_mode_fallback pins the
+    # current wording end-to-end.
+    msg = str(e)
+    return ("custom_vjp" in msg
+            or "forward-mode" in msg
+            or "jvp" in msg.lower())
 
 
 DEFAULT_REFINE_ITERS = 4

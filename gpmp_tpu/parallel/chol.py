@@ -252,7 +252,11 @@ def _sharded_cholesky_impl(K, mesh, axis_name="shard", block=256,
                 def _skip(ops):
                     z = jnp.zeros((n_loc, n - w0), dtype)
                     # match _upd's varying-manual-axes type under
-                    # shard_map (the constant is otherwise unvarying)
+                    # shard_map (the constant is otherwise unvarying);
+                    # pvary is deprecated in favor of pcast on JAX>=0.9
+                    _pcast = getattr(jax.lax, "pcast", None)
+                    if _pcast is not None:
+                        return _pcast(z, axis_name, to="varying")
                     return jax.lax.pvary(z, axis_name)
 
                 # devices whose slab is entirely above the trailing
@@ -465,6 +469,48 @@ def _sharded_chol_bwd(mesh, axis_name, block, panel_impl, L, L_bar):
 _sharded_chol_cvjp.defvjp(_sharded_chol_fwd, _sharded_chol_bwd)
 
 
+@jax.custom_jvp
+def _value_only_pair(out, guarded):
+    return out
+
+
+def _value_only_pair_jvp(primals, tangents):
+    out, _guarded = primals
+    t_out, t_guarded = tangents
+    from jax.custom_derivatives import SymbolicZero
+
+    if not isinstance(t_guarded, SymbolicZero):
+        raise ValueError(
+            "differentiating through a precomputed factor= is unsupported "
+            "(VALUE ONLY): the factor is a constant to autodiff, so the "
+            "factorization's dependence on the guarded argument (covparam "
+            "/ K) would be silently dropped from the gradient.  Call with "
+            "factor=None inside differentiated code so the factorization "
+            "is part of the trace."
+        )
+    if isinstance(t_out, SymbolicZero):
+        return out, t_out
+    return out, t_out
+
+
+_value_only_pair.defjvp(_value_only_pair_jvp, symbolic_zeros=True)
+
+
+def value_only_wrt(out, guarded):
+    """Return ``out`` unchanged, erroring under autodiff of ``guarded``.
+
+    Barrier for the factor-reuse API (ADVICE r3): computing a criterion
+    or prediction from a precomputed Cholesky factor is valid for
+    VALUES but silently wrong under jax.grad/jvp with respect to the
+    parameters the factor depends on (the factorization term vanishes).
+    Wiring the guarded argument through this pair-primitive keeps it
+    alive in the jaxpr (a plain unused argument would be DCE'd before
+    any tangent rule could fire); differentiation w.r.t. ``out`` alone
+    (e.g. downstream data arguments) passes through untouched.
+    """
+    return _value_only_pair(out, guarded)
+
+
 def sharded_cholesky_solve(K, B, mesh, axis_name="shard", block=256,
                            factor=None):
     """(K^{-1} B, L) with K row-sharded over the mesh.
@@ -479,6 +525,10 @@ def sharded_cholesky_solve(K, B, mesh, axis_name="shard", block=256,
     y = blocked_solve_lower(L, B, block=block, mesh=mesh, axis_name=axis_name)
     x = blocked_solve_upper_t(L, y, block=block, mesh=mesh,
                               axis_name=axis_name)
+    if factor is not None and K is not factor:
+        # with a precomputed factor, K is never read: a K-gradient would
+        # silently be zero.  Error under autodiff of K instead.
+        x = value_only_wrt(x, K)
     return x, L
 
 

@@ -320,7 +320,14 @@ def sharded_negative_log_restricted_likelihood(
         ldetM = 2.0 * jnp.sum(jnp.log(jnp.diag(Cm)))
         ldetPtP = gnp.logdet(Pd.T @ Pd)
         L = 0.5 * ((n - q) * log(2.0 * pi) + ldetK + ldetM - ldetPtP + quad)
-        return _nan_to_inf(L.reshape(()))
+        out = _nan_to_inf(L.reshape(()))
+        if factor is not None:
+            # covparam never enters the factored trace: differentiating
+            # w.r.t. it would silently return zeros.  Raise instead.
+            from .chol import value_only_wrt
+
+            out = value_only_wrt(out, jnp.asarray(covparam))
+        return out
 
     return _fwdmode_retry(trace)
 

@@ -120,6 +120,14 @@ def sharded_predict(model, xi, zi, xt, mesh, axis_name="shard", block=256,
     xt = gnp.asarray(xt)
     covparam = model.covparam
 
+    if factor is not None:
+        # the factorization's covparam-dependence is frozen in `factor`:
+        # a covparam gradient through this path would keep the
+        # cross-covariance term but silently drop the factor term.
+        # Error under autodiff of covparam instead (ADVICE r3).
+        from .chol import value_only_wrt
+
+        xi = value_only_wrt(xi, jnp.asarray(covparam))
     Kit = sharded_cross_covariance(model, covparam, xi, xt, mesh,
                                    axis_name=axis_name)
     if factor is None:

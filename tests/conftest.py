@@ -15,15 +15,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 # The package disables the persistent compile cache on CPU-only
-# processes by default (serialized XLA:CPU executables trip the AOT
-# loader's host-feature check with noisy -- though same-machine-safe --
-# warnings; see num/__init__.py).  For the test suite the warnings are
-# harmless and the cache cuts repeated-compile wall-clock a lot, so opt
-# in explicitly with a machine-local dir.
+# processes by default: stale XLA:CPU AOT entries are not just noisy,
+# a poisoned entry deadlocked cross-module collectives and SIGABRT'd
+# the whole suite in round 3.  Opt in ONLY with a fresh per-run temp
+# dir: repeated programs within this pytest session still hit the
+# cache, but no entry from a previous run (or another machine via a
+# shared home) can ever be loaded.
+import tempfile
+
 os.environ.setdefault(
     "GPMP_COMPILE_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "gpmp_tpu",
-                 "xla-tests"),
+    tempfile.mkdtemp(prefix="gpmp-tpu-xla-tests-"),
 )
 
 import jax  # noqa: E402

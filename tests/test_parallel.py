@@ -304,3 +304,23 @@ def test_factor_reuse_value_and_predict_parity():
     assert abs(v_fac - v_self) <= 1e-10 * max(abs(v_self), 1.0)
     np.testing.assert_allclose(zpm_fac, zpm_self, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(zpv_fac, zpv_self, rtol=1e-10, atol=1e-12)
+
+    # differentiating the factored value w.r.t. covparam must RAISE --
+    # the factor freezes the factorization's covparam-dependence, so a
+    # silent gradient would be wrong (zeros here; ADVICE r3 guard)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="VALUE ONLY|factor"):
+        jax.grad(
+            lambda p: sharded_negative_log_restricted_likelihood(
+                model, p, xi_d, zi_d, mesh, block=block, factor=L
+            )
+        )(p0)
+
+    # ... and the self-factoring gradient still works
+    g = jax.grad(
+        lambda p: sharded_negative_log_restricted_likelihood(
+            model, p, xi_d, zi_d, mesh, block=block
+        )
+    )(p0)
+    assert np.isfinite(np.asarray(g)).all()
