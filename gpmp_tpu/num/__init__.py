@@ -89,10 +89,13 @@ def _machine_fingerprint():
 # dryrun, and CPU-only hosts with jax_platforms unset -- skip it:
 # serialized XLA:CPU executables are AOT artifacts whose embedded tuning
 # pseudo-features (+prefer-no-scatter, ...) fail the loader's
-# host-feature check even on the SAME machine, and a stale entry has
-# been observed to desynchronize cross-module collectives and SIGABRT
-# the process (round-3 postmortem).  GPMP_COMPILE_CACHE=<dir> still
-# opts in explicitly anywhere.
+# host-feature check even on the SAME machine -- including same-run
+# reloads of same-session entries (fresh criterion closures miss the
+# in-memory jit cache and re-load from disk), which has been observed
+# to desynchronize cross-module collectives and SIGABRT the process
+# (round-3 postmortem, reproduced round 4 with a fresh per-run dir).
+# GPMP_COMPILE_CACHE=<dir> still opts in explicitly anywhere, but on
+# CPU hosts prefer leaving it off.
 _platforms = str(getattr(jax.config, "jax_platforms", "") or "")
 _noncpu_backend = any(
     p.strip() and p.strip().lower() != "cpu" for p in _platforms.split(",")

@@ -32,6 +32,7 @@ from .predict import (
     sharded_sample_paths,
 )
 from .loo import sharded_loo
+from .streamed import streamed_mp_solve_and_logdet
 from .view import ShardedModelView, auto_shard_block
 
 __all__ = [
@@ -56,4 +57,5 @@ __all__ = [
     "auto_shard_block",
     "sharded_kriging_weights",
     "sharded_sample_paths",
+    "streamed_mp_solve_and_logdet",
 ]

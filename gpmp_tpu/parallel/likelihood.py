@@ -262,6 +262,18 @@ def _make_cov(model, covparam, xi, zi, mesh, axis_name, mixed_ok=True):
     )
 
 
+def _streamed_active(model, covparam, xi, mesh, axis_name):
+    """True when the criterion should run on the streamed single-chip
+    engine (parallel/streamed.py): n past the resident engine's HBM
+    wall, mixed engine configured, f32-polymorphic kernel."""
+    from .streamed import streamed_applicable
+
+    try:
+        return streamed_applicable(model, covparam, xi, mesh, axis_name)
+    except Exception:
+        return False
+
+
 def _fwdmode_retry(trace_criterion):
     """Run trace_criterion(mixed_ok=True); when the mixed engine's
     custom-VJP wrappers reject a forward-mode (jacfwd/hessian) trace,
@@ -296,20 +308,31 @@ def sharded_negative_log_restricted_likelihood(
     term; never pass factor under jax.grad."""
 
     def trace(mixed_ok):
-        if factor is None:
-            cov = _make_cov(model, covparam, xi, zi, mesh, axis_name,
-                            mixed_ok)
-            K = cov(covparam)
-        else:
-            # the factored solve never reads K; skip the O(n^2) gram
-            # (eager callers would otherwise materialize it for nothing)
-            K = factor
         Pd = model.mean(xi, model.meanparam)
         n, q = Pd.shape
         rhs = jnp.concatenate([zi.reshape(-1, 1), Pd], axis=1)
-        X, ldetK = _engine_solve_and_logdet(
-            K, rhs, mesh, axis_name, block, mixed_ok, factor=factor
-        )
+        if factor is None and mixed_ok and _streamed_active(
+                model, covparam, xi, mesh, axis_name):
+            # beyond-HBM single-chip path: K is streamed from the
+            # kernel, never materialized in f64 (parallel/streamed.py)
+            from .streamed import streamed_mp_solve_and_logdet
+
+            X, ldetK = streamed_mp_solve_and_logdet(
+                model, covparam, xi, rhs
+            )
+        else:
+            if factor is None:
+                cov = _make_cov(model, covparam, xi, zi, mesh, axis_name,
+                                mixed_ok)
+                K = cov(covparam)
+            else:
+                # the factored solve never reads K; skip the O(n^2)
+                # gram (eager callers would otherwise materialize it
+                # for nothing)
+                K = factor
+            X, ldetK = _engine_solve_and_logdet(
+                K, rhs, mesh, axis_name, block, mixed_ok, factor=factor
+            )
         Kinv_z = X[:, 0]
         Kinv_P = X[:, 1:]
         M = Pd.T @ Kinv_P
@@ -340,12 +363,21 @@ def sharded_negative_log_likelihood_zero_mean(
     backward strategy)."""
 
     def trace(mixed_ok):
-        cov = _make_cov(model, covparam, xi, zi, mesh, axis_name, mixed_ok)
-        K = cov(covparam)
-        n = K.shape[0]
-        Kinv_z, ldetK = _engine_solve_and_logdet(
-            K, zi, mesh, axis_name, block, mixed_ok
-        )
+        n = xi.shape[0]
+        if mixed_ok and _streamed_active(model, covparam, xi, mesh,
+                                         axis_name):
+            from .streamed import streamed_mp_solve_and_logdet
+
+            Kinv_z, ldetK = streamed_mp_solve_and_logdet(
+                model, covparam, xi, zi
+            )
+        else:
+            cov = _make_cov(model, covparam, xi, zi, mesh, axis_name,
+                            mixed_ok)
+            K = cov(covparam)
+            Kinv_z, ldetK = _engine_solve_and_logdet(
+                K, zi, mesh, axis_name, block, mixed_ok
+            )
         L = 0.5 * (n * log(2.0 * pi) + ldetK + zi @ Kinv_z)
         return _nan_to_inf(L.reshape(()))
 

@@ -14,19 +14,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# The package disables the persistent compile cache on CPU-only
-# processes by default: stale XLA:CPU AOT entries are not just noisy,
-# a poisoned entry deadlocked cross-module collectives and SIGABRT'd
-# the whole suite in round 3.  Opt in ONLY with a fresh per-run temp
-# dir: repeated programs within this pytest session still hit the
-# cache, but no entry from a previous run (or another machine via a
-# shared home) can ever be loaded.
-import tempfile
-
-os.environ.setdefault(
-    "GPMP_COMPILE_CACHE",
-    tempfile.mkdtemp(prefix="gpmp-tpu-xla-tests-"),
-)
+# The persistent compile cache must stay OFF for the suite, and not
+# merely unset (a user env var could re-enable it): serialized XLA:CPU
+# executables are AOT artifacts whose embedded compile-time feature
+# flags (+prefer-no-scatter, ...) fail the loader's host check EVEN
+# WITHIN THE SAME RUN -- each parameter-selection fit builds fresh
+# criterion closures, so the in-memory jit cache misses and the
+# persistent cache reloads its own same-session entries, which has
+# deadlocked cross-module collectives and SIGABRT'd pytest (round 3's
+# headline defect; reproduced in round 4 with a fresh per-run dir, so
+# "stale entries" was only part of the story).  The package already
+# defaults the cache off on CPU; this pin makes the suite hermetic.
+os.environ["GPMP_COMPILE_CACHE"] = "0"
 
 import jax  # noqa: E402
 
