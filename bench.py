@@ -308,6 +308,63 @@ def _run(t_start):
     budget = DEADLINE_S - 30.0 - (time.monotonic() - t_start)
     _STATE["baseline_measured"] = baseline.collect(budget)
 
+    # Second, NON-judged metric line (VERDICT r3 item 4): the large-n
+    # scaling axis -- n=16384 sharded mixed REML value+grad on the same
+    # chip.  Emitted BEFORE the judged final line; skipped when the
+    # remaining deadline budget cannot absorb its compile.  The parsed
+    # final line's schema is unchanged.
+    try:
+        remaining = DEADLINE_S - 45.0 - (time.monotonic() - t_start)
+        if remaining > 200.0 and jax.devices()[0].platform != "cpu":
+            _emit_large_n_line()
+    except Exception as e:
+        sys.stderr.write(f"large-n metric line skipped: {e}\n")
+
+
+def _emit_large_n_line(n=16384, block=512):
+    import numpy as np
+    import jax
+    import gpmp_tpu.num as gnp
+    from bench_large_n import make_data, _build_model
+    from gpmp_tpu.parallel import make_mesh
+    from gpmp_tpu.parallel.likelihood import (
+        sharded_negative_log_restricted_likelihood,
+    )
+
+    xi, zi, _xt, covparam = make_data(n)
+    model = _build_model()
+    mesh = make_mesh(1, axis_name="shard")
+    xi_d, zi_d = gnp.asarray(xi), gnp.asarray(zi)
+    p0 = gnp.asarray(covparam)
+    vg = jax.jit(jax.value_and_grad(
+        lambda p: sharded_negative_log_restricted_likelihood(
+            model, p, xi_d, zi_d, mesh, block=block
+        )
+    ))
+    t0 = time.perf_counter()
+    _v, g = vg(p0)
+    np.asarray(g)
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _v, g = vg(p0 + 1e-4 * (i + 1))    # distinct inputs: the tunnel
+        np.asarray(g)                       # caches identical dispatches
+        times.append(time.perf_counter() - t0)
+    ms = min(times) * 1e3
+    # effective f64-quality MAC rate over the dominant factorization
+    # (n^3/3 fwd + n^3 bwd-equivalent -> 4/3 n^3 per value+grad)
+    tmacs = (4.0 / 3.0) * n ** 3 / (ms / 1e3) / 1e12
+    print(json.dumps({
+        "metric": "sharded_mixed_reml_value_grad_n%d_d3_f64" % n,
+        "value": round(ms, 1),
+        "unit": "ms/eval",
+        "effective_tmacs": round(tmacs, 3),
+        "engine": os.environ.get("GPMP_CHOL_ENGINE", "auto"),
+        "compile_s": round(compile_s, 1),
+        "judged": False,
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

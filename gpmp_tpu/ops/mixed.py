@@ -52,6 +52,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.scipy.linalg import solve_triangular
 
 def is_fwd_mode_error(e):
@@ -104,13 +105,29 @@ def _block_tri_inv(L, base=128):
         return solve_triangular(
             L, jnp.eye(n0, dtype=L.dtype), lower=True
         )
-    # pad to base * 2^k with an identity tail: inv([[L,0],[0,I]]) is
-    # [[inv(L),0],[0,I]]
     k = 0
     n = base
     while n < n0:
         n *= 2
         k += 1
+    if n != n0:
+        # Non-power-of-2-multiple-of-base n: an uneven top-level split
+        # instead of padding -- padding n=24576 to 32768 costs two
+        # 4 GB HLO temps on TPU (round-4 OOM postmortem), 78% more
+        # than the matrix itself.  [[A,0],[C,B]]^{-1} with n1 the
+        # largest base*2^k < n0: A^{-1}/B^{-1} recurse (A is pow2 by
+        # construction; B recurses on the remainder), X = -B^{-1}CA^{-1}
+        # two rectangular matmuls.
+        n1 = n // 2
+        Ai = _block_tri_inv(L[:n1, :n1], base=base)
+        Bi = _block_tri_inv(L[n1:, n1:], base=base)
+        X = -jnp.dot(Bi, jnp.dot(L[n1:, :n1], Ai))
+        # assemble by dynamic-update-slice into one buffer: the concat
+        # chain materialized ~1 extra (n, n) of temps at n=24576
+        out = jnp.zeros((n0, n0), dtype=L.dtype)
+        out = lax.dynamic_update_slice(out, Ai, (0, 0))
+        out = lax.dynamic_update_slice(out, X, (n1, 0))
+        return lax.dynamic_update_slice(out, Bi, (n1, n1))
     Lp = jnp.eye(n, dtype=L.dtype).at[:n0, :n0].set(L)
     nb = n // base
     Lv = Lp.reshape(nb, base, nb, base)

@@ -59,11 +59,20 @@ from jax import lax
 from gpmp_tpu.ops.mixed import _block_tri_inv
 from .mixed import (
     DEFAULT_REFINE_ITERS,
-    _LEVEL2_TAU,
     _RIDGE_FACTOR,
-    _SERIES_TAU,
     _SOLVE_RTOL2,
 )
+
+# Series/robust gate on c4 = tr(H^4) = sum(lambda^4), NOT on
+# c2 = |H|_F^2 (parallel/mixed's gate): c2 aggregates n^2 eps32-level
+# entries, so a healthy large-n H crosses an absolute c2 bound with the
+# series nowhere near divergence (measured: NaN value at n=24576 on a
+# well-conditioned K).  c4 is dominated by the largest eigenvalues:
+# truncation |sum lambda^5| <= c4^1.25, so c4 < 1e-6 bounds the value
+# error at ~4e-9 absolute and max|lambda| <= 0.03 (deep inside
+# convergence); the backward Kinv truncation is |lambda|^3 ~ 3e-5
+# relative, inside the gradient envelope.
+_SERIES_C4_TAU = 1e-6
 
 # stream only where the resident engine cannot go (it is faster when it
 # fits); override for tests / tuning.  Read at trace time -- like
@@ -120,12 +129,25 @@ def choose_mode(n, cap_bytes=None):
 
 
 def _robust_fits(n, cap_bytes=None):
-    """The second-level logdet branch peaks at ~4.5 units (M32 + H +
-    F/MF + f64 column blocks); past that the engine degrades to
+    """The second-level logdet branch adds F/MF (2 units) on top of the
+    base residents; buffer assignment sizes the arena to the max over
+    cond branches, so past ~6.5 units the engine degrades to
     series-or-NaN (criterion wrappers map NaN to +inf, the reference's
     failure semantics)."""
     cap = _device_bytes_cap() if cap_bytes is None else cap_bytes
-    return 4.5 * 4 * n * n <= cap
+    return 6.5 * 4 * n * n <= cap
+
+
+def _level2_tau(n):
+    """Scale-aware divergence gate for the second-level logdet defect:
+    accept when rms(G) <= 1e-6 (~15x eps32 -- a healthy second level
+    sits at eps32-rms, a failed one orders of magnitude above).  The
+    round-3 ABSOLUTE gate (|G|_F^2 < 1e-8) spuriously rejected every
+    healthy large-n robust evaluation: |G|_F^2 aggregates n^2
+    eps32-level entries, ~2e-5 at n=8192.  Truncation error of the
+    quadratic correction is ~|G|_2 * g2 ~ eps32 * g2 -- negligible at
+    this gate."""
+    return 1e-12 * n * n
 
 
 # --------------------------------------------------------------------------
@@ -154,43 +176,62 @@ def _gram_rows(model, p, x_rows, x_full, corr_rows, row0, n):
 
 
 def _build_k32(model, p, xi, corr, chunk):
-    """Resident f32 gram via the f32 kernel chain, row-chunked so the
-    chain's interior temps never exceed one chunk."""
-    n, d = xi.shape
-    xi32 = xi.astype(_F32)
-    xc = _defeat_identity(xi32)
-    p32 = p.astype(_F32)
-    corr32 = corr.astype(_F32)
-    nb = n // chunk
+    """Resident K32 = f32 ROUNDING of the f64 gram (one streamed f64
+    kernel pass, hi word only).
 
-    def one(args):
-        x_rows, c_rows, i = args
-        return _gram_rows(model, p32, x_rows, xc, c_rows, i * chunk, n)
-
-    rows = lax.map(one, (xi32.reshape(nb, chunk, d),
-                         corr32.reshape(nb, chunk),
-                         jnp.arange(nb, dtype=jnp.int32)))
-    return rows.reshape(n, n)
-
-
-def _build_ff(model, p, xi, corr, chunk):
-    """(K32, E32) float-float split of the f64 gram, one streamed f64
-    kernel pass; K64 never materializes beyond one row chunk."""
+    NOT the f32 kernel chain: an f32-kernel K32 differs from f32(K64)
+    by ~1e-6 absolute (f32 distance computation), which inflates the
+    factorization residual R = K - L L^T tenfold -- enough to push
+    |H|_F^2 past the series gate at n >= 8192 and strand healthy
+    evaluations on the robust branch (the round-4 recompute-mode NaN).
+    The f64 pass restores the eps32-level R the engine's accuracy
+    model assumes; its cost is one kernel pass the recompute mode
+    already pays per matvec."""
     n, d = xi.shape
     xc = _defeat_identity(xi)
     nb = n // chunk
 
-    def one(args):
-        x_rows, c_rows, i = args
-        k64 = _gram_rows(model, p, x_rows, xc, c_rows, i * chunk, n)
+    def body(i, buf):
+        r0 = i * chunk
+        z = r0 * 0                      # zero of the loop-counter dtype
+        x_rows = lax.dynamic_slice(xi, (r0, z), (chunk, d))
+        c_rows = lax.dynamic_slice(corr, (r0,), (chunk,))
+        k64 = _gram_rows(model, p, x_rows, xc, c_rows, r0, n)
+        return lax.dynamic_update_slice(buf, k64.astype(_F32), (r0, z))
+
+    return lax.fori_loop(0, nb, body, jnp.zeros((n, n), _F32))
+
+
+def _build_ff(model, p, xi, corr, chunk):
+    """(K32, E32) float-float split of the f64 gram, one streamed f64
+    kernel pass; K64 never materializes beyond one row chunk.
+
+    fori_loop + dynamic-update-slice into the final (n, n) buffers
+    instead of lax.map + reshape: the map's stacked (nb, chunk, n)
+    accumulator picked a layout the (n, n) consumers could not bitcast,
+    costing one full extra copy of EACH output (4.5 GB at n=24576);
+    the loop carries update in place."""
+    n, d = xi.shape
+    xc = _defeat_identity(xi)
+    nb = n // chunk
+
+    def body(i, bufs):
+        hi_b, lo_b = bufs
+        r0 = i * chunk
+        z = r0 * 0                      # zero of the loop-counter dtype
+        x_rows = lax.dynamic_slice(xi, (r0, z), (chunk, d))
+        c_rows = lax.dynamic_slice(corr, (r0,), (chunk,))
+        k64 = _gram_rows(model, p, x_rows, xc, c_rows, r0, n)
         hi = k64.astype(_F32)
         lo = (k64 - hi.astype(_F64)).astype(_F32)
-        return hi, lo
+        hi_b = lax.dynamic_update_slice(hi_b, hi, (r0, z))
+        lo_b = lax.dynamic_update_slice(lo_b, lo, (r0, z))
+        return hi_b, lo_b
 
-    hi, lo = lax.map(one, (xi.reshape(nb, chunk, d),
-                           corr.reshape(nb, chunk),
-                           jnp.arange(nb, dtype=jnp.int32)))
-    return hi.reshape(n, n), lo.reshape(n, n)
+    return lax.fori_loop(
+        0, nb, body,
+        (jnp.zeros((n, n), _F32), jnp.zeros((n, n), _F32)),
+    )
 
 
 def _k64_col_slab_recompute(model, p, xi, corr, c0, cb):
@@ -209,8 +250,15 @@ def _k64_col_slab_recompute(model, p, xi, corr, c0, cb):
 
 
 def _k64_col_slab_ff(K32, E32, c0, cb):
-    return (K32[c0:, c0:c0 + cb].astype(_F64)
-            + E32[c0:, c0:c0 + cb].astype(_F64))
+    """Column slab via a ROW slab + transpose: K is exactly symmetric
+    (every (i, j) entry is computed by the same fp operations as
+    (j, i) in the row-streamed build), and column slices of the
+    row-major residents forced a full {0,1} layout copy of BOTH K32
+    and E32 (4.5 GB at n=24576, round-4 buffer dump); the per-panel
+    (cb, n-c0) transpose is a bounded temp instead."""
+    kr = K32[c0:c0 + cb, c0:].astype(_F64)
+    er = E32[c0:c0 + cb, c0:].astype(_F64)
+    return (kr + er).T
 
 
 # --------------------------------------------------------------------------
@@ -263,19 +311,24 @@ def _streamed_residual_f32(k64_slab, L32, n, block, rc):
 # --------------------------------------------------------------------------
 
 def _h_from_residual(M32, R32, cb):
-    """H = M32 (R32 M32^T) with the intermediate P = R M^T kept to one
-    (n, cb) column block at a time (f32 MXU matmuls)."""
+    """H = (M32 R32) M32^T built in ROW blocks: the stacked (nb, cb, n)
+    map output reshapes to row-major (n, n) as a bitcast, where the
+    round-4 column-block variant's final transpose materialized a full
+    (n, n) layout copy (2.25 GB at n=24576).  Same 2 n^3 f32 MXU MACs;
+    the M32^T contraction is expressed via einsum so XLA folds the
+    transpose into the dot."""
     n = M32.shape[0]
-    hp = jax.lax.Precision.HIGHEST
     nb = n // cb
 
     def one(j):
-        Mc = lax.dynamic_slice(M32, (j * cb, jnp.int32(0)), (cb, n))   # rows of M
-        P_cb = jnp.dot(R32, Mc.T, precision=hp)             # (n, cb)
-        return jnp.dot(M32, P_cb, precision=hp)             # (n, cb)
+        Mr = lax.dynamic_slice(M32, (j * cb, jnp.int32(0)), (cb, n))
+        t = jnp.einsum("in,nm->im", Mr, R32,
+                       precision=jax.lax.Precision.HIGHEST)   # (cb, n)
+        return jnp.einsum("im,km->ik", t, M32,
+                          precision=jax.lax.Precision.HIGHEST)
 
-    cols = lax.map(one, jnp.arange(nb, dtype=jnp.int32))    # (nb, n, cb)
-    return jnp.transpose(cols, (1, 0, 2)).reshape(n, n)
+    rows = lax.map(one, jnp.arange(nb, dtype=jnp.int32))      # (nb, cb, n)
+    return rows.reshape(n, n)
 
 
 def _h_traces(H, chunk):
@@ -365,20 +418,34 @@ def _streamed_level2_g(H, MF32, cb):
 # refined solves with streamed matvec
 # --------------------------------------------------------------------------
 
-def _matvec_ff(K32, E32, X):
-    """K @ X with K = K32 + E32: fused broadcast-multiply + f64 tree
-    reduction per part -- promotion happens in registers, no emulated
-    dot, no split temps (the parallel/mixed._f64_matvec idea applied to
-    the two-float representation)."""
-    def one(v):
-        return (jnp.sum(K32 * v[None, :], axis=1,
-                        dtype=_F64)
-                + jnp.sum(E32 * v[None, :], axis=1, dtype=_F64))
+def _matvec_ff(K32, E32, X, chunk=1024):
+    """K @ X with K = K32 + E32: broadcast-multiply + f64 tree reduction
+    per part (the parallel/mixed._f64_matvec idea applied to the
+    two-float representation), ROW-CHUNKED: on TPU the emulation pass
+    materializes an unfused f32*f64 broadcast product as a full (n, n)
+    f64 (two u32 words -- 4.5 GB at n=24576, measured round 4), so the
+    promotion must be bounded to one (chunk, n) block."""
+    n = K32.shape[0]
+    c = chunk if n % chunk == 0 else _largest_divisor_leq(n, chunk)
+    nb = n // c
+    squeeze = X.ndim == 1
+    Xm = X.reshape(-1, 1) if squeeze else X
 
-    if X.ndim == 1:
-        return one(X)
-    cols = [one(X[:, j]) for j in range(X.shape[1])]
-    return jnp.stack(cols, axis=1)
+    def rows(i):
+        r0 = i * c
+        Kr = lax.dynamic_slice(K32, (r0, jnp.int32(0)), (c, n))
+        Er = lax.dynamic_slice(E32, (r0, jnp.int32(0)), (c, n))
+        cols = [
+            jnp.sum(Kr * Xm[None, :, j], axis=1, dtype=_F64)
+            + jnp.sum(Er * Xm[None, :, j], axis=1, dtype=_F64)
+            for j in range(Xm.shape[1])
+        ]
+        return jnp.stack(cols, axis=1)
+
+    out = lax.map(rows, jnp.arange(nb, dtype=jnp.int32)).reshape(
+        n, Xm.shape[1]
+    )
+    return out.reshape(-1) if squeeze else out
 
 
 def _matvec_recompute(model, p, xi, corr, chunk, X):
@@ -531,7 +598,9 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
     if robust is None:
         robust = _robust_fits(n, cap_bytes)
     chunk = _largest_divisor_leq(n, 512)
-    rblock = _largest_divisor_leq(n, 1024)
+    # narrower residual panels past 16k: the panel product's hoisted
+    # split-operand expansion scales as 8 * rblock * n words
+    rblock = _largest_divisor_leq(n, 512 if n >= 16384 else 1024)
     cb = _largest_divisor_leq(n, 256)
     if chunk < 64:
         raise ValueError(
@@ -565,12 +634,25 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
         ridge = _RIDGE_FACTOR * jnp.finfo(_F32).eps * (
             jnp.trace(K32) / n
         )
-        L32 = jnp.linalg.cholesky(K32 + ridge * jnp.eye(n, dtype=_F32))
+        # cholesky's custom-call wants a column-major operand while the
+        # streamed build (and every other consumer) is row-major; the
+        # layout ping-pong cost two full (n, n) copies and 9 GB of
+        # arena fragmentation at n=24576 (round-4 buffer dump).  K32 is
+        # exactly symmetric, so hand cholesky the TRANSPOSE -- XLA
+        # folds the transpose of a row-major buffer into the {0,1}
+        # layout the custom-call wants, no copy.
+        L32 = jnp.linalg.cholesky(
+            (K32 + ridge * jnp.eye(n, dtype=_F32)).T
+        )
         diag_l = jnp.diagonal(L32)
-        M32 = _block_tri_inv(L32, base=128)
-
+        # residual BEFORE the triangular inverse: R needs L32 but not
+        # M32, so this order keeps peak liveness at {L32, R} then
+        # {L32, M32, R} (3 units) instead of carrying M32 through the
+        # whole panel stream -- the difference between fitting and
+        # OOMing at n=32768 (19.0 GB unpadded peak, round-4 dump)
         R32 = _streamed_residual_f32(k64_slab, L32, n, rblock,
                                      _largest_divisor_leq(rblock, 512))
+        M32 = _block_tri_inv(L32, base=128)
         H = _h_from_residual(M32, R32, cb)
         c1, c2, c3, c4 = _h_traces(H, chunk)
         base = 2.0 * jnp.sum(jnp.log(diag_l.astype(_F64)))
@@ -587,15 +669,16 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
                        + 2.0 * jnp.sum(
                            jnp.log(jnp.diagonal(F32).astype(_F64)))
                        + g1 - g2 / 2.0)
-                return jnp.where(g2 < _LEVEL2_TAU, ld2, jnp.nan)
+                return jnp.where(g2 < _level2_tau(n), ld2, jnp.nan)
 
             def _series_ld(ops):
                 return ld_series
 
-            # NaN c2 compares False -> robust -> NaN (as parallel/mixed)
-            ld = lax.cond(c2 < _SERIES_TAU, _series_ld, _robust_ld, (H,))
+            # NaN c4 compares False -> robust -> NaN (as parallel/mixed)
+            ld = lax.cond(c4 < _SERIES_C4_TAU, _series_ld, _robust_ld,
+                          (H,))
         else:
-            ld = jnp.where(c2 < _SERIES_TAU, ld_series, jnp.nan)
+            ld = jnp.where(c4 < _SERIES_C4_TAU, ld_series, jnp.nan)
 
         X = _refined_solve_streamed(matvec, B, M32, n_refine)
         if mode == "ff":
@@ -632,7 +715,7 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
         Xm = X.reshape(-1, 1) if squeeze else X
         S = _refined_solve_streamed(matvec, Xb, M32, n_refine)
 
-        _c1, c2, _c3, _c4 = _h_traces(H, chunk)
+        _c1, _c2, _c3, c4 = _h_traces(H, chunk)
 
         def _series_inv(ops):
             M32_, H_ = ops
@@ -647,7 +730,7 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
                 M32_, H_ = ops
                 return jnp.full((n, n), jnp.nan, _F32)
 
-        Kinv32 = lax.cond(c2 < _SERIES_TAU, _series_inv, _robust_inv,
+        Kinv32 = lax.cond(c4 < _SERIES_C4_TAU, _series_inv, _robust_inv,
                           (M32, H))
         pbar32 = _streamed_param_pullback(
             model, p.astype(_F32), xi32, Kinv32,
