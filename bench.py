@@ -42,7 +42,7 @@ NOISE_STD = 0.1
 
 # Hard deadline (seconds): the driver's capture budget is ~10 min; emit
 # whatever we have well before that.
-DEADLINE_S = float(os.environ.get("GPMP_BENCH_DEADLINE", 420))
+DEADLINE_S = float(os.environ.get("GPMP_BENCH_DEADLINE", 500))
 
 # Best torch-CPU baseline observed on an IDLE machine (evals/s); the
 # in-run measurement drops under host load, which would INFLATE
@@ -315,7 +315,11 @@ def _run(t_start):
     # final line's schema is unchanged.
     try:
         remaining = DEADLINE_S - 45.0 - (time.monotonic() - t_start)
-        if remaining > 200.0 and jax.devices()[0].platform != "cpu":
+        # its program is in the persistent TPU-side compile cache after
+        # the first round-4 run, so ~100 s of margin suffices; if the
+        # compile does overrun, the watchdog emits the judged line and
+        # exits (this line is simply absent -- schema unaffected)
+        if remaining > 100.0 and jax.devices()[0].platform != "cpu":
             _emit_large_n_line()
     except Exception as e:
         sys.stderr.write(f"large-n metric line skipped: {e}\n")

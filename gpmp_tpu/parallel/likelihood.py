@@ -60,14 +60,22 @@ def _engine_solve_and_logdet(K, rhs, mesh, axis_name, block, mixed_ok=True,
     )
 
 
-def _diag_correction(model, covparam, xi, block=256):
+def _diag_correction(model, covparam, xi, block=32):
     """Self-branch minus cross-branch diagonal (noise variance + nugget,
     per point), computed EXACTLY from the full kernel in O(n block)
     work.  The kernel's ``pairwise`` branch cannot be trusted here:
     reference-convention kernels (e.g. reference example07) return
     *prior* variances pairwise, excluding observation noise and nugget,
     which would silently drop the noise diagonal from the sharded gram.
-    ``x + 0*x`` defeats the kernel's ``y is x`` identity test."""
+    ``x + 0*x`` defeats the kernel's ``y is x`` identity test.
+
+    Only the block DIAGONALS are read, so the block size is a free
+    parameter: vmap over many SMALL blocks instead of round 3's
+    lax.map over (256, 256) ones -- the sequential map of emulated-f64
+    kernel blocks was ~60% of the whole n=8192 REML value on the v5e
+    (round-4 stage profile), all of it spent computing a noise
+    diagonal.  One vmapped program costs n*block kernel evaluations
+    and no sequential dispatch chain."""
     n, d = xi.shape
     b = min(block, n)
     nb = -(-n // b)
@@ -84,7 +92,7 @@ def _diag_correction(model, covparam, xi, block=256):
         K_cross = model.covariance(xblk, xc, covparam)
         return jnp.diagonal(K_self) - jnp.diagonal(K_cross)
 
-    return lax.map(one, xb).reshape(-1)[:n]
+    return jax.vmap(one)(xb).reshape(-1)[:n]
 
 
 def sharded_covariance(model, covparam, xi, mesh, axis_name="shard"):
