@@ -47,7 +47,11 @@ DEADLINE_S = float(os.environ.get("GPMP_BENCH_DEADLINE", 500))
 # Best torch-CPU baseline observed on an IDLE machine (evals/s); the
 # in-run measurement drops under host load, which would INFLATE
 # vs_baseline, so the denominator is floored here (conservative:
-# vs_baseline can only understate the speedup).
+# vs_baseline can only understate the speedup).  Re-measured each
+# round per VERDICT r3 item 9: round 4 (2026-08-21, load avg 0.40,
+# best of 3 runs) = 2.486; round 1 recorded 2.8, which this host can
+# no longer reach -- keep the HIGHER of the two as the floor so the
+# speedup stays understated rather than flattered.
 NOMINAL_BASELINE_EVALS_PER_SEC = 2.8
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
