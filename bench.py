@@ -4,14 +4,23 @@ noisy-regression config (BASELINE.json config #2, example07 shape):
 n=1000, d=6, Matern p=2 with observation-noise variance, float64 data.
 
 The TPU path uses the mixed-precision Cholesky engine
-(GPMP_CHOL_ENGINE=mixed: f32 XLA factorization + f64 matmul-based
-refinement); the bench asserts <1e-6 relative agreement with the exact
-f64 engine at the eval point before timing, and falls back to the f64
-engine if that check fails.
+(set_chol_engine("mixed"): f32 XLA factorization + f64 matmul-based
+refinement).
 
-Prints ONE JSON line:
+MEASURE FIRST, GATE LATER (VERDICT r4 item 1): the mixed program is
+compiled and timed FIRST, with `_STATE` updated after EVERY window, so
+the watchdog always has a real number once a single window lands --
+a cold compile cache can delay the result but can no longer turn it
+into a 0.0 artifact unless the very first compile itself overruns the
+whole budget.  The f64 parity check (<1e-6 relative agreement at the
+eval point) runs AFTER timing: pass -> parity_gate="pass"; fail ->
+the f64 engine is timed instead and reported; not-reached-in-budget ->
+parity_gate="unverified" on the already-measured mixed number.
+
+Prints ONE judged JSON line:
   {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N,
-   "baseline_measured": N|null, "baseline_used": N}
+   "baseline_measured": N|null, "baseline_used": N,
+   "parity_gate": "pass"|"fail"|"unverified"}
 
 vs_baseline: speedup over the reference gpmp torch-CPU backend
 (autograd value+grad of the same criterion), measured in a subprocess
@@ -25,6 +34,12 @@ auditable.
 
 A watchdog emits the JSON line with whatever has been measured if the
 run approaches the driver's capture budget (rc=124 protection).
+
+Cold-cache drill (VERDICT r4 item 1c):
+  rm -rf /tmp/gpmp_bench_cold_cache && \
+  GPMP_COMPILE_CACHE=/tmp/gpmp_bench_cold_cache python bench.py
+must print a judged line with value > 0 inside the deadline; the
+round-5 result of this drill is recorded in BENCHMARKS.md.
 """
 
 import json
@@ -111,11 +126,14 @@ print(json.dumps({"evals_per_sec": N_EVAL / dt}))
 """
 
 # Shared measurement state: the watchdog reads this to emit a best-effort
-# JSON line if the deadline approaches.
+# JSON line if the deadline approaches.  `evals_per_sec` is written
+# after the FIRST timing window and refined after every later one, so
+# the watchdog can only emit 0.0 if not even one window completed.
 _STATE = {
     "engine": None,
     "evals_per_sec": None,
     "baseline_measured": None,
+    "parity_gate": "unverified",
     "emitted": False,
 }
 _EMIT_LOCK = threading.Lock()
@@ -140,6 +158,7 @@ def _emit(partial=False):
         "vs_baseline": round(value / used, 4) if value else None,
         "baseline_measured": round(measured, 4) if measured else None,
         "baseline_used": round(used, 4),
+        "parity_gate": _STATE["parity_gate"],
     }
     if partial:
         out["partial"] = True
@@ -267,6 +286,8 @@ def _run(t_start):
         )
     )
 
+    from gpmp_tpu.config import set_chol_engine
+
     def make_vg():
         return jax.jit(
             jax.value_and_grad(
@@ -274,39 +295,57 @@ def _run(t_start):
             )
         )
 
-    # exact engine reference value
-    os.environ["GPMP_CHOL_ENGINE"] = "f64"
-    v_exact = float(make_vg()(p0)[0])
+    def time_windows(vg):
+        """Time N_WINDOWS windows, updating _STATE after EACH one.
 
-    # mixed engine: use if it matches the exact value
-    os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        The tunneled device shows transient dispatch stalls (first
+        window after warmup is reliably ~40% slower; occasional
+        multi-second hiccups).  Report the median of all but the first
+        window, so one stall cannot sink the judged number."""
+        windows = []
+        for _ in range(N_WINDOWS):
+            t0 = time.perf_counter()
+            for i in range(N_EVAL):
+                _v, g = vg(p0 + 0.001 * i)
+            jax.block_until_ready(g)
+            windows.append(N_EVAL / (time.perf_counter() - t0))
+            steady = sorted(windows[1:]) if len(windows) > 1 else windows
+            _STATE["evals_per_sec"] = steady[len(steady) // 2]
+
+    # MEASURE FIRST: compile + warm up + time the mixed engine before
+    # anything else can burn the budget (VERDICT r4 item 1a).
+    set_chol_engine("mixed")
     vg = make_vg()
     v_mp, g = vg(p0)
     jax.block_until_ready(g)
-    engine = "mixed"
-    if not np.isfinite(float(v_mp)) or (
-        abs(float(v_mp) - v_exact) / max(abs(v_exact), 1.0) > 1e-6
-    ):
-        os.environ["GPMP_CHOL_ENGINE"] = "f64"
-        vg = make_vg()
-        v_mp, g = vg(p0)
-        jax.block_until_ready(g)
-        engine = "f64"
-    _STATE["engine"] = engine
+    v_mp = float(v_mp)
+    if np.isfinite(v_mp):
+        _STATE["engine"] = "mixed"
+        time_windows(vg)
+        gate_engine = "mixed"
+    else:
+        # non-finite at the eval point: the mixed engine is unusable
+        # here; go straight to f64
+        gate_engine = "none"
 
-    # The tunneled device shows transient dispatch stalls (first window
-    # after warmup is reliably ~40% slower; occasional multi-second
-    # hiccups).  Time several windows and report the median of all but
-    # the first, so one stall cannot sink the judged number.
-    windows = []
-    for _ in range(N_WINDOWS):
-        t0 = time.perf_counter()
-        for i in range(N_EVAL):
-            v, g = vg(p0 + 0.001 * i)
-        jax.block_until_ready(g)
-        windows.append(N_EVAL / (time.perf_counter() - t0))
-        steady = sorted(windows[1:]) if len(windows) > 1 else windows
-        _STATE["evals_per_sec"] = steady[len(steady) // 2]
+    # GATE LATER: f64 reference value (second compile) only after the
+    # mixed number is already in _STATE.
+    set_chol_engine("f64")
+    vg64 = make_vg()
+    v_exact = float(vg64(p0)[0])
+    if gate_engine == "mixed" and (
+        abs(v_mp - v_exact) / max(abs(v_exact), 1.0) <= 1e-6
+    ):
+        _STATE["parity_gate"] = "pass"
+    else:
+        # mixed failed (or was non-finite): the judged number must come
+        # from the exact engine instead
+        _STATE["parity_gate"] = "fail" if gate_engine == "mixed" else "pass"
+        _STATE["engine"] = "f64"
+        _STATE["evals_per_sec"] = None
+        _g64 = vg64(p0)[1]
+        jax.block_until_ready(_g64)
+        time_windows(vg64)
 
     # Baseline: whatever budget remains before the deadline, minus slack.
     budget = DEADLINE_S - 30.0 - (time.monotonic() - t_start)
@@ -333,11 +372,14 @@ def _emit_large_n_line(n=16384, block=512):
     import numpy as np
     import jax
     import gpmp_tpu.num as gnp
+    from gpmp_tpu.config import set_chol_engine
     from bench_large_n import make_data, _build_model
     from gpmp_tpu.parallel import make_mesh
     from gpmp_tpu.parallel.likelihood import (
         sharded_negative_log_restricted_likelihood,
     )
+
+    set_chol_engine("mixed")   # this is the sharded MIXED-engine metric
 
     xi, zi, _xt, covparam = make_data(n)
     model = _build_model()
@@ -368,7 +410,7 @@ def _emit_large_n_line(n=16384, block=512):
         "value": round(ms, 1),
         "unit": "ms/eval",
         "effective_tmacs": round(tmacs, 3),
-        "engine": os.environ.get("GPMP_CHOL_ENGINE", "auto"),
+        "engine": "mixed",
         "compile_s": round(compile_s, 1),
         "judged": False,
     }), flush=True)

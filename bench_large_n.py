@@ -31,6 +31,7 @@ import sys
 import time
 
 import numpy as np
+from gpmp_tpu.config import get_chol_engine, set_chol_engine
 
 
 # --------------------------------------------------------------------------
@@ -181,7 +182,7 @@ def run_parity(n, block, n_devices=8, device="cpu", engine=None):
     chip under axon), single-device mesh — the hardware f64 parity run.
     """
     if engine:
-        os.environ["GPMP_CHOL_ENGINE"] = engine
+        set_chol_engine(engine)
     if device == "cpu":
         os.environ.setdefault(
             "XLA_FLAGS",
@@ -289,7 +290,7 @@ def run_oracle_check(n=1536, block=256):
 
 
 def run_scale(n, block, engine):
-    os.environ["GPMP_CHOL_ENGINE"] = engine
+    set_chol_engine(engine)
     import jax
     import gpmp_tpu.num as gnp
     from gpmp_tpu.parallel import make_mesh

@@ -31,6 +31,7 @@ import numpy as np
 
 import gpmp_tpu as gp
 import gpmp_tpu.num as gnp
+from gpmp_tpu.config import get_chol_engine, set_chol_engine
 
 
 def constant_mean(x, param):
@@ -79,10 +80,10 @@ def main(show=False):
     xi_, zi_ = gnp.asarray(xi), gnp.asarray(zi)
 
     results = {}
-    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    prev = get_chol_engine()
     try:
         for engine in ("f64", "mixed"):
-            os.environ["GPMP_CHOL_ENGINE"] = engine
+            set_chol_engine(engine)
             model = gp.Model(constant_mean, kernel)
             model, info = gp.kernel.select_parameters_with_reml(
                 model, xi_, zi_, info=True, covparam0=covparam0
@@ -98,10 +99,7 @@ def main(show=False):
             print(f"[{engine:5s}] REML criterion {info.fun:.6f}, "
                   f"{info.nfev} evals, {info.total_time:.1f}s")
     finally:
-        if prev is None:
-            os.environ.pop("GPMP_CHOL_ENGINE", None)
-        else:
-            os.environ["GPMP_CHOL_ENGINE"] = prev
+        set_chol_engine(prev)
 
     # fit-to-fit agreement: optimizer-path noise only (each engine's
     # criterion differs at ~1e-10, so SLSQP may stop a step apart)
@@ -115,17 +113,14 @@ def main(show=False):
     # engine parity proper: same covparam, f64 vs mixed predictions
     model = gp.Model(constant_mean, kernel)
     model.covparam = gnp.asarray(results["f64"]["covparam"])
-    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    prev = get_chol_engine()
     try:
-        os.environ["GPMP_CHOL_ENGINE"] = "f64"
+        set_chol_engine("f64")
         zpm_a, _ = model.predict(xi_, zi_, gnp.asarray(xt))
-        os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        set_chol_engine("mixed")
         zpm_b, _ = model.predict(xi_, zi_, gnp.asarray(xt))
     finally:
-        if prev is None:
-            os.environ.pop("GPMP_CHOL_ENGINE", None)
-        else:
-            os.environ["GPMP_CHOL_ENGINE"] = prev
+        set_chol_engine(prev)
     dpar = float(np.max(np.abs(np.asarray(zpm_a) - np.asarray(zpm_b))))
     print(f"engine parity at fixed covparam: predict {dpar:.2e}")
     assert dpar < 1e-7

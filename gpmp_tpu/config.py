@@ -17,8 +17,11 @@ Environment variables honored at import time:
   GPMP_DTYPE          "float64" (default) or "float32"
   GPMP_LOG_LEVEL      standard logging level name
   GPMP_CHOL_ENGINE    "auto" (default, = f64) / "f64" / "mixed" -- the
-                      Cholesky engine for hot-path solves (read at jit
-                      trace time, so it can be flipped between fits)
+                      Cholesky engine for hot-path solves.  Read ONCE at
+                      import as the initializer of ``get_config().chol_engine``;
+                      flip it at runtime with :func:`set_chol_engine` (the
+                      env var is not re-read after import, so user-jitted
+                      functions cannot silently bake a stale env value).
   GPMP_COMPILE_CACHE  persistent XLA compilation cache directory
                       (default ~/.cache/gpmp_tpu/xla; "0" disables)
 """
@@ -31,6 +34,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 
 _VALID_DTYPES = ("float64", "float32")
+_VALID_CHOL_ENGINES = ("auto", "f64", "mixed")
 
 
 def _normalize_dtype_spec(spec: Any) -> str:
@@ -52,6 +56,7 @@ class _GPmpTpuConfig:
     dtype: str = "float64"
     dtype_resolved: Any = None  # set by gpmp_tpu.num at import
     device: str = "auto"
+    chol_engine: str = "auto"
     seed: int = 1234
     caches: Dict[str, Dict] = field(default_factory=dict)
     logger: Optional[logging.Logger] = None
@@ -105,6 +110,78 @@ def set_device(device: str) -> None:
     _config.device = device
 
 
+def _initial_chol_engine() -> str:
+    env = os.environ.get("GPMP_CHOL_ENGINE")
+    if env is None:
+        return "auto"
+    if env in _VALID_CHOL_ENGINES:
+        return env
+    get_logger().warning(
+        "Unknown GPMP_CHOL_ENGINE=%r; falling back to 'auto' (valid: %s).",
+        env, ", ".join(_VALID_CHOL_ENGINES),
+    )
+    return "auto"
+
+
+def _make_chol_engine_state():
+    """Register the engine as a JAX config state that participates in the
+    jit trace context: flipping it invalidates every jit cache -- the
+    library's AND the user's -- so no jitted function can serve a trace
+    baked with a stale engine (VERDICT r4 item 6).  Falls back to the
+    plain config field if the (internal) JAX API moves.
+    """
+    try:
+        from jax._src import config as _jax_config
+
+        return _jax_config.enum_state(
+            "gpmp_chol_engine",
+            _VALID_CHOL_ENGINES,
+            _initial_chol_engine(),
+            help="gpmp_tpu Cholesky engine for hot-path SPD solves "
+                 "(auto = f64; mixed = f32 factorization + f64 refinement).",
+            include_in_jit_key=True,
+            include_in_trace_context=True,
+        )
+    except Exception:
+        get_logger().info(
+            "jax config-state registration unavailable; Cholesky engine "
+            "flips will not invalidate user-level jit caches."
+        )
+        return None
+
+
+_chol_engine_state = _make_chol_engine_state()
+
+
+def set_chol_engine(name: str) -> None:
+    """Select the Cholesky engine for hot-path SPD solves.
+
+    'auto' (= 'f64'): exact double-precision factorizations.
+    'mixed': f32 factorization + f64 refinement (gpmp_tpu.ops.mixed).
+
+    This is the runtime API; the GPMP_CHOL_ENGINE env var only seeds the
+    initial value at import.  The engine is part of the jit trace
+    context, so flipping it retraces jitted functions (library and
+    user alike) -- no stale engine can be served from a jit cache.
+    """
+    if name not in _VALID_CHOL_ENGINES:
+        raise ValueError(
+            f"Unknown Cholesky engine {name!r}; "
+            f"expected one of {_VALID_CHOL_ENGINES}."
+        )
+    _config.chol_engine = name
+    if _chol_engine_state is not None:
+        import jax
+
+        jax.config.update("gpmp_chol_engine", name)
+
+
+def get_chol_engine() -> str:
+    if _chol_engine_state is not None:
+        return _chol_engine_state.value
+    return _config.chol_engine
+
+
 def clear_caches() -> None:
     _config.caches.clear()
 
@@ -130,3 +207,8 @@ def set_log_level(level: str) -> None:
 _env_dtype = os.environ.get("GPMP_DTYPE")
 if _env_dtype is not None:
     _config.dtype = _normalize_dtype_spec(_env_dtype)
+
+_config.chol_engine = (
+    _chol_engine_state.value if _chol_engine_state is not None
+    else _initial_chol_engine()
+)

@@ -5,11 +5,10 @@ Reimplements the semantics of /root/reference/gpmp/core/linalg.py:17-141
 as pure jittable functions.
 """
 
-import os
-
 import jax.numpy as jnp
 
 import gpmp_tpu.num as gnp
+from gpmp_tpu.config import get_chol_engine
 
 
 # below this size the f64 factorization is already cheap and the mixed
@@ -21,25 +20,22 @@ def chol_engine(n=None):
     """Cholesky engine for SPD solves on the hot paths.
 
     'f64' (default): exact double-precision factorizations.
-    'mixed' (opt-in via GPMP_CHOL_ENGINE=mixed): f32 factorization +
-    f64 matmul-based refinement with trace-series logdet/diag and an
-    analytic custom VJP (gpmp_tpu.ops.mixed) -- ~4-10x faster on TPU
-    where f64 Cholesky is emulated; accurate to ~1e-10 relative for
-    cond(K) within the f32 range (~1e7), NaN->+inf beyond.
+    'mixed' (opt-in via config.set_chol_engine('mixed'), or the
+    GPMP_CHOL_ENGINE env var as import-time initializer): f32
+    factorization + f64 matmul-based refinement with trace-series
+    logdet/diag and an analytic custom VJP (gpmp_tpu.ops.mixed) --
+    ~4-10x faster on TPU where f64 Cholesky is emulated; accurate to
+    ~1e-10 relative for cond(K) within the f32 range (~1e7),
+    NaN->+inf beyond.
 
     When the problem size ``n`` is passed, 'mixed' only engages for
     n >= 192: small factorizations are latency-trivial either way and
     the f64 graph compiles much faster.
-    """
-    eng = os.environ.get("GPMP_CHOL_ENGINE", "auto")
-    if eng not in ("auto", "f64", "mixed"):
-        from gpmp_tpu.config import get_logger
 
-        get_logger().warning(
-            "Unknown GPMP_CHOL_ENGINE=%r; falling back to 'f64' "
-            "(valid: auto, f64, mixed).", eng,
-        )
-        eng = "f64"
+    Dispatch happens at jit trace time from ``get_config().chol_engine``
+    (validated at set time); there is no env read on traced paths.
+    """
+    eng = get_chol_engine()
     eng = "f64" if eng == "auto" else eng
     if eng == "mixed" and n is not None and n < _MIXED_MIN_N:
         return "f64"

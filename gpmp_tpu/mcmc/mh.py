@@ -1412,7 +1412,17 @@ class MetropolisHastings:
         W = chain_vars.mean(axis=0)
         B = n_block * chain_means.var(axis=0, ddof=1)
         var_post = ((n_block - 1) / n_block) * W + B / n_block
-        return np.sqrt(var_post / W)
+        # Degenerate within-chain variance (all chains stuck at the same
+        # point in a component): report R-hat = inf if the chains
+        # disagree, 1.0 if they all sit on one value -- no NaN/inf
+        # RuntimeWarning from a 0/0 divide.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rhat = np.sqrt(var_post / W)
+        degenerate = W == 0.0
+        if np.any(degenerate):
+            rhat = np.where(degenerate & (var_post > 0.0), np.inf, rhat)
+            rhat = np.where(degenerate & (var_post == 0.0), 1.0, rhat)
+        return rhat
 
     def check_convergence_gelman_rubin(self, burnin_period=0, last_n_samples=None,
                                        threshold=1.1, verbose=True):

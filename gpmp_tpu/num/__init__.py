@@ -97,9 +97,19 @@ def _machine_fingerprint():
 # GPMP_COMPILE_CACHE=<dir> still opts in explicitly anywhere, but on
 # CPU hosts prefer leaving it off.
 _platforms = str(getattr(jax.config, "jax_platforms", "") or "")
-_noncpu_backend = any(
-    p.strip() and p.strip().lower() != "cpu" for p in _platforms.split(",")
-)
+if _platforms:
+    _noncpu_backend = any(
+        p.strip() and p.strip().lower() != "cpu" for p in _platforms.split(",")
+    )
+else:
+    # Backend auto-detection (jax_platforms unset): a real TPU host must
+    # not silently lose the cache (ADVICE r4).  A full device query here
+    # would initialize the backend at import, so use the presence of a
+    # TPU runtime (libtpu) as the signal instead; CPU-only hosts have no
+    # libtpu and stay off.
+    import importlib.util as _ilu
+
+    _noncpu_backend = _ilu.find_spec("libtpu") is not None
 
 # Bump when the cache install policy changes in a way that can
 # invalidate old entries (e.g. enabling/disabling the XLA-internal AOT
@@ -880,8 +890,8 @@ class SecondOrderDifferentiableFunction:
     core/linalg.py).  The TypeError fallback below is a backstop for
     user functions that call the engine's custom-VJP entry points
     DIRECTLY (bypassing the dispatchers): such Hessians retrace once
-    with GPMP_CHOL_ENGINE=f64 pinned (engine dispatch is a trace-time
-    env read), logged."""
+    with the f64 engine pinned via config.set_chol_engine (engine
+    dispatch is a trace-time config read), logged."""
 
     def __init__(self, f):
         self.f = f
@@ -912,16 +922,15 @@ class SecondOrderDifferentiableFunction:
                 "reverse-only custom VJP; retracing this Hessian with the "
                 "exact f64 engine."
             )
-            env = os.environ.get("GPMP_CHOL_ENGINE")
-            os.environ["GPMP_CHOL_ENGINE"] = "f64"
+            from gpmp_tpu.config import get_chol_engine, set_chol_engine
+
+            prev = get_chol_engine()
+            set_chol_engine("f64")
             try:
                 self._h_fallback = jax.jit(jax.hessian(self.f))
                 return self._h_fallback(self._theta)
             finally:
-                if env is None:
-                    os.environ.pop("GPMP_CHOL_ENGINE", None)
-                else:
-                    os.environ["GPMP_CHOL_ENGINE"] = env
+                set_chol_engine(prev)
 
 
 def _is_linalg_exception(exc: Exception) -> bool:

@@ -69,14 +69,16 @@ def is_fwd_mode_error(e):
     if not isinstance(e, TypeError):
         return False
     # JAX has reworded this error across releases; match the stable
-    # vocabulary of the rejection rather than one exact phrase (a
-    # rewording would otherwise silently disable the retry path --
-    # ADVICE r3).  test_mixed_engine_forward_mode_fallback pins the
-    # current wording end-to-end.
+    # vocabulary of the rejection ("can't apply forward-mode autodiff
+    # (jvp) to a custom_vjp function" in jax 0.9) rather than one exact
+    # phrase.  A bare "jvp" substring is NOT enough (ADVICE r4): an
+    # unrelated TypeError mentioning e.g. a user's my_jvp helper would
+    # trigger an expensive full f64 retrace before resurfacing, so
+    # require the custom_vjp / forward-mode anchor words.
+    # test_mixed_engine_forward_mode_fallback pins the wording
+    # end-to-end.
     msg = str(e)
-    return ("custom_vjp" in msg
-            or "forward-mode" in msg
-            or "jvp" in msg.lower())
+    return "custom_vjp" in msg or "forward-mode" in msg
 
 
 DEFAULT_REFINE_ITERS = 4

@@ -488,8 +488,6 @@ def _value_only_pair_jvp(primals, tangents):
             "factor=None inside differentiated code so the factorization "
             "is part of the trace."
         )
-    if isinstance(t_out, SymbolicZero):
-        return out, t_out
     return out, t_out
 
 

@@ -75,9 +75,24 @@ from .mixed import (
 _SERIES_C4_TAU = 1e-6
 
 # stream only where the resident engine cannot go (it is faster when it
-# fits); override for tests / tuning.  Read at trace time -- like
-# GPMP_CHOL_ENGINE, recompile (or re-jit) after changing it.
-STREAM_MIN_N = int(os.environ.get("GPMP_STREAM_N", "20480"))
+# fits).  GPMP_STREAM_N forces an explicit cutover n for tests/tuning;
+# unset (the default) the cutover derives from the RESIDENT engine's
+# measured peak-bytes model against the device cap, so the old fixed
+# n=20480 gap (16384 < n < 20480 routed to a resident compile that
+# OOMs -- ADVICE r4) cannot occur.  Read at trace time: recompile
+# (or re-jit) after changing it.
+_env_stream_n = os.environ.get("GPMP_STREAM_N")
+STREAM_MIN_N = int(_env_stream_n) if _env_stream_n else None
+
+# Resident mixed engine's peak liveness in (n, n)-f32 units, calibrated
+# against XLA's buffer assignment: 30 GB at n=24576 (round-4 dump)
+# = 13.3 units; 0.2 headroom for per-size layout variance.
+_RESIDENT_PEAK_UNITS = 13.5
+
+
+def _resident_fits(n, cap_bytes=None):
+    cap = _device_bytes_cap() if cap_bytes is None else cap_bytes
+    return _RESIDENT_PEAK_UNITS * 4 * n * n <= cap
 
 _F64 = jnp.float64
 _F32 = jnp.float32
@@ -688,7 +703,10 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
             # recompute-mode backward re-streams the kernel: saving K32
             # would hold a dead (n, n) unit through fwd+bwd for nothing
             res_k = (None, None)
-        return X, ld, (M32, H, X, res_k)
+        # c4 rides along as a residual: the backward's series/robust
+        # gate needs ONLY this scalar, and recomputing it via _h_traces
+        # cost a full ~n^3 f32 pass incl. H^2 row products (ADVICE r4)
+        return X, ld, (M32, H, X, res_k, c4)
 
     @jax.custom_vjp
     def sal(p, B):
@@ -696,17 +714,19 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
         return X, ld
 
     def fwd(p, B):
-        X, ld, (M32, H, _X, res_k) = _forward(p, B)
-        return (X, ld), (p, M32, H, X, res_k)
+        X, ld, (M32, H, _X, res_k, c4) = _forward(p, B)
+        return (X, ld), (p, M32, H, X, res_k, c4)
 
     def bwd(res, cot):
-        p, M32, H, X, (K32, E32) = res
+        p, M32, H, X, (K32, E32), c4 = res
         Xbar, ldbar = cot
-        corr = _diag_correction(model, p, xi)
         if mode == "ff":
+            # ff backward never evaluates the kernel: no corr needed
             def matvec(V):
                 return _matvec_ff(K32, E32, V)
         else:
+            corr = _diag_correction(model, p, xi)
+
             def matvec(V):
                 return _matvec_recompute(model, p, xi, corr, chunk, V)
 
@@ -714,8 +734,6 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
         Xb = Xbar.reshape(-1, 1) if squeeze else Xbar
         Xm = X.reshape(-1, 1) if squeeze else X
         S = _refined_solve_streamed(matvec, Xb, M32, n_refine)
-
-        _c1, _c2, _c3, c4 = _h_traces(H, chunk)
 
         def _series_inv(ops):
             M32_, H_ = ops
@@ -767,8 +785,13 @@ def streamed_applicable(model, covparam, xi, mesh, axis_name):
     if not _single_device(mesh, axis_name):
         return False
     n = xi.shape[0]
-    if n < STREAM_MIN_N or xi.dtype != _F64:
+    if xi.dtype != _F64:
         return False
+    if STREAM_MIN_N is not None:
+        if n < STREAM_MIN_N:
+            return False
+    elif _resident_fits(n):
+        return False          # resident engine fits and is faster
     if _largest_divisor_leq(n, 512) < 64:
         return False
     if choose_mode(n) is None:

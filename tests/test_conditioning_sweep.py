@@ -27,6 +27,7 @@ import gpmp_tpu.num as gnp
 from gpmp_tpu.ops.mixed import mp_solve_and_logdet
 from gpmp_tpu.parallel import make_mesh
 from gpmp_tpu.parallel.mixed import sharded_mp_solve_and_logdet
+from gpmp_tpu.config import get_chol_engine, set_chol_engine
 
 N = 256
 EPS64 = float(np.finfo(np.float64).eps)
@@ -160,18 +161,18 @@ def test_noise_to_zero_path_matern():
     mesh1 = make_mesh(1, axis_name="shard")
     xi_d, zi_d = gnp.asarray(xi), gnp.asarray(zi)
 
-    os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+    set_chol_engine("mixed")
     try:
         for log_noise in [-2.0, -5.0, -8.0, -11.0, -14.0, -20.0, -30.0]:
             p = gnp.asarray(np.array([0.0, log_noise, 0.3, 0.2]))
             v_mixed = float(sharded_negative_log_restricted_likelihood(
                 model, p, xi_d, zi_d, mesh1, block=64
             ))
-            os.environ["GPMP_CHOL_ENGINE"] = "f64"
+            set_chol_engine("f64")
             v_f64 = float(sharded_negative_log_restricted_likelihood(
                 model, p, xi_d, zi_d, mesh1, block=64
             ))
-            os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+            set_chol_engine("mixed")
             if np.isfinite(v_mixed) and np.isfinite(v_f64):
                 # gram conditioning ~ n * sigma2 / noise; past ~1e5 the
                 # engine is on its robust branch (documented ~1e-6 rel,
@@ -183,4 +184,4 @@ def test_noise_to_zero_path_matern():
                     f"{v_mixed} vs {v_f64}"
                 )
     finally:
-        os.environ.pop("GPMP_CHOL_ENGINE", None)
+        set_chol_engine("auto")

@@ -11,6 +11,7 @@ import scipy.special
 import gpmp_tpu as gp
 import gpmp_tpu.num as gnp
 from gpmp_tpu.core import likelihood
+from gpmp_tpu.config import get_chol_engine, set_chol_engine
 
 
 # ------------------------- fixtures / oracles -------------------------
@@ -347,12 +348,12 @@ def test_loo_mixed_engine_matches_f64():
             model, None, covparam, xi, zi
         ),
     ]
-    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    prev = get_chol_engine()
     try:
         for fn in cases:
-            os.environ["GPMP_CHOL_ENGINE"] = "f64"
+            set_chol_engine("f64")
             ref = fn()
-            os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+            set_chol_engine("mixed")
             mix = fn()
             for a, b in zip(ref, mix):
                 rel = float(
@@ -360,7 +361,4 @@ def test_loo_mixed_engine_matches_f64():
                 )
                 assert rel < 1e-8
     finally:
-        if prev is None:
-            os.environ.pop("GPMP_CHOL_ENGINE", None)
-        else:
-            os.environ["GPMP_CHOL_ENGINE"] = prev
+        set_chol_engine(prev)

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 import gpmp_tpu.num as gnp
+from gpmp_tpu.config import get_chol_engine, set_chol_engine
 from gpmp_tpu.ops.mixed import (
     mp_logdet,
     mp_solve_and_logdet,
@@ -195,16 +196,13 @@ def test_mp_engine_under_vmap():
     P0 = jnp.stack(
         [jnp.asarray([0.0, -4.0, 0.5, 0.3]) + 0.01 * i for i in range(3)]
     )
-    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    prev = get_chol_engine()
     try:
-        os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        set_chol_engine("mixed")
         V, G = jax.jit(jax.vmap(jax.value_and_grad(f)))(P0)
         V_serial = [float(jax.value_and_grad(f)(P0[i])[0]) for i in range(3)]
     finally:
-        if prev is None:
-            os.environ.pop("GPMP_CHOL_ENGINE", None)
-        else:
-            os.environ["GPMP_CHOL_ENGINE"] = prev
+        set_chol_engine(prev)
     np.testing.assert_allclose(np.asarray(V), V_serial, rtol=1e-12)
 
 
@@ -233,27 +231,21 @@ def test_mixed_engine_forward_mode_fallback():
 
     t0 = jnp.asarray([0.1, -2.0])
 
-    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    prev = get_chol_engine()
     try:
-        os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        set_chol_engine("mixed")
         H_mixed = jax.hessian(crit)(t0)          # would raise before
         Jfwd = jax.jacfwd(jax.grad(crit))(t0)    # fwd-over-rev
         g_mixed = jax.grad(crit)(t0)             # fast path
     finally:
-        if prev is None:
-            os.environ.pop("GPMP_CHOL_ENGINE", None)
-        else:
-            os.environ["GPMP_CHOL_ENGINE"] = prev
+        set_chol_engine(prev)
 
-    os.environ["GPMP_CHOL_ENGINE"] = "f64"
+    set_chol_engine("f64")
     try:
         H_f64 = jax.hessian(crit)(t0)
         g_f64 = jax.grad(crit)(t0)
     finally:
-        if prev is None:
-            os.environ.pop("GPMP_CHOL_ENGINE", None)
-        else:
-            os.environ["GPMP_CHOL_ENGINE"] = prev
+        set_chol_engine(prev)
 
     scale = np.max(np.abs(np.asarray(H_f64)))
     np.testing.assert_allclose(np.asarray(H_mixed), np.asarray(H_f64),
@@ -303,23 +295,55 @@ def test_mixed_engine_hessian_through_model_criterion():
     def f(p):
         return model.negative_log_restricted_likelihood(p, xi, zi)
 
-    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    prev = get_chol_engine()
     try:
-        os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        set_chol_engine("mixed")
         H_mixed = np.asarray(jax.hessian(f)(p0))
         g_fwd = np.asarray(jax.jacfwd(f)(p0))
         g_rev = np.asarray(jax.grad(f)(p0))
         FI = np.asarray(model.fisher_information_torch(xi, p0))
-        os.environ["GPMP_CHOL_ENGINE"] = "f64"
+        set_chol_engine("f64")
         H_f64 = np.asarray(jax.hessian(f)(p0))
     finally:
-        if prev is None:
-            os.environ.pop("GPMP_CHOL_ENGINE", None)
-        else:
-            os.environ["GPMP_CHOL_ENGINE"] = prev
+        set_chol_engine(prev)
 
     assert np.isfinite(H_mixed).all()
     assert np.isfinite(FI).all()
     scale = np.max(np.abs(H_f64))
     assert np.max(np.abs(H_mixed - H_f64)) / scale < 1e-6
     np.testing.assert_allclose(g_fwd, g_rev, rtol=1e-8, atol=1e-9)
+
+
+def test_engine_flip_between_jits_honored(monkeypatch):
+    """Engine dispatch reads get_config().chol_engine at trace time
+    (VERDICT r4 item 6): flipping the engine between two jax.jit
+    wrappings of the same user function must be honored by each trace --
+    no stale env/config value baked into user-jitted captures."""
+    import gpmp_tpu.core.linalg as clin
+    import gpmp_tpu.ops.mixed as opsmixed
+
+    n = 256
+    K = gnp.asarray(_spd(n, cond=1e3, seed=5))
+    rhs = gnp.asarray(np.random.default_rng(0).normal(size=(n, 1)))
+
+    def user_fn(K, rhs):
+        return clin.solve_and_logdet(K, rhs)[1]
+
+    calls = []
+    real = opsmixed.mp_solve_and_logdet
+    monkeypatch.setattr(
+        opsmixed, "mp_solve_and_logdet",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+
+    prev = get_chol_engine()
+    try:
+        set_chol_engine("f64")
+        v64 = float(jax.jit(user_fn)(K, rhs))
+        assert not calls, "f64 engine must not touch the mixed path"
+        set_chol_engine("mixed")
+        vmp = float(jax.jit(user_fn)(K, rhs))
+        assert calls, "mixed engine must engage on the second trace"
+    finally:
+        set_chol_engine(prev)
+    assert abs(vmp - v64) <= 1e-8 * abs(v64)

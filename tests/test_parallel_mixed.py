@@ -17,6 +17,7 @@ from gpmp_tpu.parallel.likelihood import (
     sharded_negative_log_restricted_likelihood,
 )
 from gpmp_tpu.parallel.mixed import sharded_mp_solve_and_logdet
+from gpmp_tpu.config import get_chol_engine, set_chol_engine
 
 N, BLOCK = 512, 64
 
@@ -140,17 +141,14 @@ def test_sharded_reml_mixed_engine_matches_f64(mesh):
             model, p, xi, zi, mesh, block=BLOCK
         )
 
-    old = os.environ.get("GPMP_CHOL_ENGINE")
+    old = get_chol_engine()
     try:
-        os.environ["GPMP_CHOL_ENGINE"] = "f64"
+        set_chol_engine("f64")
         v64, g64 = jax.jit(jax.value_and_grad(crit))(p0)
-        os.environ["GPMP_CHOL_ENGINE"] = "mixed"
+        set_chol_engine("mixed")
         vmp, gmp = jax.jit(jax.value_and_grad(crit))(p0)
     finally:
-        if old is None:
-            os.environ.pop("GPMP_CHOL_ENGINE", None)
-        else:
-            os.environ["GPMP_CHOL_ENGINE"] = old
+        set_chol_engine(old)
 
     np.testing.assert_allclose(float(vmp), float(v64), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(gmp), np.asarray(g64),

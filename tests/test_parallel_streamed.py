@@ -146,9 +146,14 @@ def test_streamed_reml_dispatch_matches_default(problem, monkeypatch):
 
     v_def, g_def = jax.value_and_grad(crit)(p0)
 
-    monkeypatch.setenv("GPMP_CHOL_ENGINE", "mixed")
+    import gpmp_tpu.config as gconfig
     monkeypatch.setattr(streamed_mod, "STREAM_MIN_N", 256)
-    v_st, g_st = jax.value_and_grad(crit)(p0)
+    prev = gconfig.get_chol_engine()
+    gconfig.set_chol_engine("mixed")
+    try:
+        v_st, g_st = jax.value_and_grad(crit)(p0)
+    finally:
+        gconfig.set_chol_engine(prev)
     assert abs(float(v_st) - float(v_def)) <= 1e-8 * abs(float(v_def))
     # gradient envelope: see test_streamed_gradient_matches_exact_autodiff
     np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_def),

@@ -7,6 +7,7 @@ import numpy as np
 
 import gpmp_tpu as gp
 import gpmp_tpu.num as gnp
+from gpmp_tpu.config import get_chol_engine, set_chol_engine
 
 
 def constant_mean(x, param):
@@ -264,10 +265,10 @@ def test_mixed_engine_fit_parity_end_to_end():
     )
 
     results = {}
-    prev = os.environ.get("GPMP_CHOL_ENGINE")
+    prev = get_chol_engine()
     try:
         for engine in ("f64", "mixed"):
-            os.environ["GPMP_CHOL_ENGINE"] = engine
+            set_chol_engine(engine)
             model = gp.Model(constant_mean, noisy_kernel)
             model, info = gp.kernel.select_parameters_with_reml(
                 model, xi, zi, covparam0=gnp.asarray(p0), info=True
@@ -277,10 +278,7 @@ def test_mixed_engine_fit_parity_end_to_end():
                 float(info.best_value_returned),
             )
     finally:
-        if prev is None:
-            os.environ.pop("GPMP_CHOL_ENGINE", None)
-        else:
-            os.environ["GPMP_CHOL_ENGINE"] = prev
+        set_chol_engine(prev)
 
     cov_f64, crit_f64 = results["f64"]
     cov_mixed, crit_mixed = results["mixed"]
