@@ -81,12 +81,14 @@ def _cross_cov_np(x, y, covparam):
     return sigma2 * _maternp_np(P_SMOOTH, Dm)
 
 
-def oracle_reml_and_predict(xi, zi, xt, covparam, block=4096, verbose=True):
+def oracle_reml_and_predict(xi, zi, xt, covparam, block=4096, verbose=True,
+                            value_only=False):
     """Streamed NumPy/SciPy REML criterion + UK predict.
 
     The (n, n) gram is filled block-of-rows at a time into one
     preallocated float64 array and factored IN PLACE (no second n^2
-    buffer), so n=50k needs ~20 GB once.
+    buffer), so n=50k needs ~20 GB once.  value_only=True skips the
+    predict block (the FD gradient oracle only needs the criterion).
     """
     import scipy.linalg
 
@@ -125,6 +127,8 @@ def oracle_reml_and_predict(xi, zi, xt, covparam, block=4096, verbose=True):
     _s, ldetPtP = np.linalg.slogdet(P.T @ P)
     reml = 0.5 * ((n - q) * np.log(2.0 * np.pi) + ldetK + ldetM
                   - ldetPtP + quad)
+    if value_only:
+        return float(reml), None, None
 
     # universal kriging predict (Schur form, core/kriging.py semantics)
     Kit = _cross_cov_np(xi, xt, covparam)          # (n, nt)
@@ -263,6 +267,100 @@ def run_parity(n, block, n_devices=8, device="cpu", engine=None):
     return out
 
 
+def run_parity_grad(n, block, h=2e-3, out_path=None):
+    """Large-n GRADIENT oracle (VERDICT r4 item 3): the streamed-engine
+    REML value+grad on the real chip vs central finite differences of
+    the independent NumPy streamed-oracle REML along the logsigma2,
+    log-noise and one loginvrho direction.
+
+    Each FD component is computed at steps h and h/2 with Richardson
+    extrapolation (error ~h^4); |g_h - g_{h/2}| / 3 is reported as the
+    FD's own convergence estimate so the comparison is honest about
+    what the oracle can resolve.  Tolerance: the engine's documented
+    envelope -- 1e-6 relative in general, 1e-4 for the trace-heavy
+    logsigma2 component (parallel/streamed.py:20-29).
+    """
+    set_chol_engine("mixed")
+    import jax
+    import gpmp_tpu.num as gnp
+    from gpmp_tpu.parallel import make_mesh
+    from gpmp_tpu.parallel.likelihood import (
+        sharded_negative_log_restricted_likelihood,
+    )
+
+    xi, zi, _xt, covparam = make_data(n)
+    model = _build_model()
+    mesh = make_mesh(1, axis_name="shard")
+    xi_d, zi_d = gnp.asarray(xi), gnp.asarray(zi)
+    p0 = gnp.asarray(covparam)
+
+    vg = jax.jit(jax.value_and_grad(
+        lambda p: sharded_negative_log_restricted_likelihood(
+            model, p, xi_d, zi_d, mesh, block=block)))
+    t0 = time.perf_counter()
+    v_dev, g_dev = vg(p0)
+    v_dev = float(v_dev)
+    g_dev = np.asarray(g_dev)
+    print(f"[device] value+grad in {time.perf_counter()-t0:.1f}s "
+          f"(incl. compile); value={v_dev:.6f} grad={g_dev}",
+          file=sys.stderr, flush=True)
+
+    comps = [(0, "logsigma2", 1e-4), (1, "lognoise", 1e-6),
+             (2, "loginvrho0", 1e-6)]
+
+    def f(p):
+        t0 = time.perf_counter()
+        v, _, _ = oracle_reml_and_predict(xi, zi, None, p, verbose=False,
+                                          value_only=True)
+        print(f"[oracle] eval in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+        return v
+
+    v_np = f(covparam)
+    results = []
+    all_pass = True
+    for idx, name, tol in comps:
+        def fd(step):
+            e = np.zeros_like(covparam)
+            e[idx] = step
+            return (f(covparam + e) - f(covparam - e)) / (2.0 * step)
+
+        g_h, g_h2 = fd(h), fd(h / 2.0)
+        g_rich = (4.0 * g_h2 - g_h) / 3.0
+        fd_err = abs(g_h - g_h2) / 3.0
+        scale = max(abs(g_rich), 1e-300)
+        rel = abs(g_dev[idx] - g_rich) / scale
+        # the comparison cannot certify below what the FD resolves
+        eff_tol = max(tol, 2.0 * fd_err / scale)
+        ok = rel <= eff_tol
+        all_pass &= ok
+        results.append({
+            "component": name, "index": idx,
+            "grad_device": float(g_dev[idx]), "grad_fd_oracle": float(g_rich),
+            "rel_err": float(rel), "tol_envelope": tol,
+            "fd_resolution_rel": float(fd_err / scale),
+            "pass": bool(ok),
+        })
+        print(f"[grad] {name}: device={g_dev[idx]:.8g} "
+              f"fd={g_rich:.8g} rel={rel:.3g} fd_res={fd_err/scale:.3g}",
+              file=sys.stderr, flush=True)
+
+    out = {
+        "metric": "streamed_reml_grad_parity_n%d" % n,
+        "n": n, "d": D, "engine": "mixed(streamed)", "fd_step": h,
+        "reml_value_device": v_dev, "reml_value_oracle": v_np,
+        "value_rel_err": abs(v_dev - v_np) / abs(v_np),
+        "components": results,
+        "pass": bool(all_pass),
+    }
+    line = json.dumps(out)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fo:
+            fo.write(line + "\n")
+    return out
+
+
 def run_oracle_check(n=1536, block=256):
     """Oracle vs the in-repo Model API at small n (oracle validation)."""
     import gpmp_tpu.num as gnp
@@ -344,7 +442,8 @@ def run_scale(n, block, engine):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["parity", "oracle-check", "scale"],
+    ap.add_argument("--mode", choices=["parity", "parity-grad",
+                                       "oracle-check", "scale"],
                     default="oracle-check")
     ap.add_argument("--n", type=int, default=51200)
     ap.add_argument("--block", type=int, default=512)
@@ -353,11 +452,15 @@ def main():
                     help="parity mode: cpu = virtual 8-device mesh; "
                     "default = the real chip (single-device mesh)")
     ap.add_argument("--n-devices", type=int, default=8)
+    ap.add_argument("--out", default=None,
+                    help="parity-grad: also write the JSON line here")
     args = ap.parse_args()
     if args.mode == "parity":
         run_parity(args.n, args.block, n_devices=args.n_devices,
                    device=args.device,
                    engine=args.engine if args.device == "default" else None)
+    elif args.mode == "parity-grad":
+        run_parity_grad(args.n, args.block, out_path=args.out)
     elif args.mode == "oracle-check":
         run_oracle_check()
     else:

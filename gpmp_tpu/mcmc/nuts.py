@@ -286,8 +286,16 @@ def is_uturn(q_minus, q_plus, p_minus, p_plus, inv_mass_diag):
 
 def find_reasonable_step_size(log_prob, q, inv_mass_diag, init_eps=1.0,
                               target_accept=0.5, scale_base=2.0, min_eps=1e-6,
-                              max_eps=1e2, key=None):
-    """Doubling/halving search for an initial step size."""
+                              max_eps=1e2, key=None, max_iters=None):
+    """Doubling/halving search for an initial step size.
+
+    The probe leapfrog is jitted ONCE with eps as a traced argument:
+    each doubling step is a dispatch, not a fresh trace of log_prob
+    (for an expensive sharded criterion the per-eps retrace dominated
+    the whole search -- 373 s in the round-4 multichip dryrun).
+    ``max_iters`` bounds the loop on top of the [min_eps, max_eps]
+    range; None derives it from that range (+4 slack).
+    """
     eps = float(init_eps)
     if key is None:
         key = gnp.next_key()
@@ -297,15 +305,22 @@ def find_reasonable_step_size(log_prob, q, inv_mass_diag, init_eps=1.0,
     U0, g0 = potential_and_grad(log_prob, q)
     H0 = U0 + kinetic(p0, inv_mass_diag)
 
-    def alpha_at(eps_):
+    @jax.jit
+    def _probe(eps_):
         q1, p1, U1, _ = leapfrog(log_prob, q, p0, g0, eps_, inv_mass_diag)
-        H1 = U1 + kinetic(p1, inv_mass_diag)
-        la = float(-(H1 - H0))
+        return U1 + kinetic(p1, inv_mass_diag)
+
+    def alpha_at(eps_):
+        la = float(-(_probe(jnp.asarray(eps_)) - H0))
         return math.exp(min(la, 0.0)) if math.isfinite(la) else 0.0
+
+    if max_iters is None:
+        span = max(max_eps / max(min_eps, 1e-300), 2.0)
+        max_iters = int(math.log(span) / math.log(max(scale_base, 1.001))) + 4
 
     alpha = alpha_at(eps)
     direction = 1.0 if alpha > target_accept else -1.0
-    while True:
+    for _ in range(max_iters):
         eps *= scale_base**direction
         alpha2 = alpha_at(eps)
         if (alpha2 > target_accept and direction < 0) or (
