@@ -85,8 +85,12 @@ def _workload(gp, gnp, sample_mh, sample_nuts, sample_smc, sample_svgd,
     out["nuts_s"] = time.perf_counter() - t0
     out["nuts_samples_finite"] = bool(np.isfinite(np.asarray(samples)).all())
 
+    # SMC requires an init box (both sides); take it from the fit's
+    # optimizer bounds, as the reference example23 does for NUTS
+    init_box = [[b[0] for b in info.bounds], [b[1] for b in info.bounds]]
+
     t0 = time.perf_counter()
-    samples, _state = sample_smc(info, n_particles=1000)
+    samples, _state = sample_smc(info, n_particles=1000, init_box=init_box)
     out["smc_s"] = time.perf_counter() - t0
     out["smc_samples_finite"] = bool(np.isfinite(np.asarray(samples)).all())
 

@@ -369,14 +369,27 @@ class MetropolisHastings:
             chols = self._proposal_chols()
             self._key, sub = jax.random.split(self._key)
             keys = jax.random.split(sub, n_steps)
+            lt0_np = self.log_target_values[:, self.global_iter]
             x0 = jnp.asarray(self.x[:, self.global_iter, :])
-            lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
-            lt0 = jnp.where(
-                jnp.isnan(lt0), self._batched_target()(x0), lt0
-            )
+            lt0 = jnp.asarray(lt0_np)
+            if np.any(np.isnan(lt0_np)):
+                # NaN marks "not yet evaluated" (fresh/restored chains):
+                # fill via the CACHED jitted target.  Checked on the
+                # host first -- the previous unconditional
+                # jnp.where(..., self._batched_target()(x0), ...)
+                # re-built and eagerly ran an unjitted vmap of the full
+                # criterion EVERY block (~150 ms/block, the dominant MH
+                # cost in the round-5 profile).
+                lt0 = jnp.where(
+                    jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0
+                )
             x0, lt0, chols = self._shard_chains(x0, lt0, chols)
 
             _xf, _ltf, xs, accepts, lts = kernel(x0, lt0, chols, keys)
+            # ONE host transfer for the block's traces: separate
+            # np.asarray fetches pay a full tunnel round-trip each
+            # (~32 ms measured; 3 per block was half the MH wall-clock)
+            xs, accepts, lts = jax.device_get((xs, accepts, lts))
         except Exception as exc:
             # e.g. a mesh-sharded criterion that cannot vmap over chains:
             # restore the RNG stream, switch to sequential evaluation,
@@ -384,10 +397,6 @@ class MetropolisHastings:
             self._key = key_snapshot
             self._fall_back_to_sequential_target(exc)
             return self.run_samples(n_steps, show_global_progress)
-
-        xs = np.asarray(xs)  # (n_steps, C, d)
-        accepts = np.asarray(accepts)
-        lts = np.asarray(lts)
         self.x[:, i0 : i0 + n_steps, :] = np.swapaxes(xs, 0, 1)
         self.accept[:, i0 : i0 + n_steps] = np.swapaxes(accepts, 0, 1)
         self.log_target_values[:, i0 : i0 + n_steps] = np.swapaxes(lts, 0, 1)
@@ -665,12 +674,14 @@ class MetropolisHastings:
         keys = jnp.stack(subs)
         gammas_j = jnp.asarray(np.asarray(gammas))
 
+        lt0_np = self.log_target_values[:, self.global_iter]
         x0 = jnp.asarray(self.x[:, self.global_iter, :])
-        lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
+        lt0 = jnp.asarray(lt0_np)
         try:
-            lt0 = jnp.where(
-                jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0
-            )
+            if np.any(np.isnan(lt0_np)):
+                lt0 = jnp.where(
+                    jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0
+                )
             cov0 = jnp.stack(
                 [self._get_cov_parameter(c) for c in range(C)]
             )
@@ -688,9 +699,11 @@ class MetropolisHastings:
 
         n_tot = n_blocks * n_block_size
         i0 = self.global_iter + 1
-        xs = np.asarray(xs).reshape(n_tot, C, d)
-        acc = np.asarray(acc).reshape(n_tot, C)
-        lts = np.asarray(lts).reshape(n_tot, C)
+        # one tunnel round-trip for the whole dispatch's traces
+        xs, acc, lts = jax.device_get((xs, acc, lts))
+        xs = xs.reshape(n_tot, C, d)
+        acc = acc.reshape(n_tot, C)
+        lts = lts.reshape(n_tot, C)
         self.x[:, i0 : i0 + n_tot, :] = np.swapaxes(xs, 0, 1)
         self.accept[:, i0 : i0 + n_tot] = np.swapaxes(acc, 0, 1)
         self.log_target_values[:, i0 : i0 + n_tot] = np.swapaxes(lts, 0, 1)
@@ -710,12 +723,14 @@ class MetropolisHastings:
             subs.append(jax.random.split(sub, n_block_size))
         keys = jnp.stack(subs)  # (K, block, 2)
 
+        lt0_np = self.log_target_values[:, self.global_iter]
         x0 = jnp.asarray(self.x[:, self.global_iter, :])
-        lt0 = jnp.asarray(self.log_target_values[:, self.global_iter])
+        lt0 = jnp.asarray(lt0_np)
         try:
-            lt0 = jnp.where(
-                jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0
-            )
+            if np.any(np.isnan(lt0_np)):
+                lt0 = jnp.where(
+                    jnp.isnan(lt0), self._vmapped_logtarget(x0), lt0
+                )
             cov0 = jnp.stack(
                 [self._get_cov_parameter(c) for c in range(C)]
             )
@@ -733,9 +748,11 @@ class MetropolisHastings:
 
         n_tot = n_blocks * n_block_size
         i0 = self.global_iter + 1
-        xs = np.asarray(xs).reshape(n_tot, C, d)
-        acc = np.asarray(acc).reshape(n_tot, C)
-        lts = np.asarray(lts).reshape(n_tot, C)
+        # one tunnel round-trip for the whole dispatch's traces
+        xs, acc, lts = jax.device_get((xs, acc, lts))
+        xs = xs.reshape(n_tot, C, d)
+        acc = acc.reshape(n_tot, C)
+        lts = lts.reshape(n_tot, C)
         self.x[:, i0 : i0 + n_tot, :] = np.swapaxes(xs, 0, 1)
         self.accept[:, i0 : i0 + n_tot] = np.swapaxes(acc, 0, 1)
         self.log_target_values[:, i0 : i0 + n_tot] = np.swapaxes(lts, 0, 1)

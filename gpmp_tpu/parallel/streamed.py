@@ -43,8 +43,11 @@ Two storage modes, chosen by a peak-bytes model against device memory:
   evaluation, matvecs at f32 HBM bandwidth.  Peak ~5.5 n^2 f32 words.
 - ``recompute``: only K32 stays resident; every f64 matvec re-streams
   the kernel in f64 row chunks.  Exact f64 kernel values; costs ~5-7
-  kernel passes per value+grad.  Peak ~3.5 n^2 f32 words -- the mode
-  that reaches n=32768 on one 16 GB chip.
+  kernel passes per value+grad.  Measured peak 4.03 n^2 f32 words
+  (round-5 XLA dump) -- the mode that reaches n=28672 on one 16 GB
+  chip (measured green, PARITY_28672_r05.json); n=32768 needs
+  16.15 GB > 15.75 GB available and is measured-impossible
+  single-chip (BENCHMARKS.md budget table) -- use a >=2-chip mesh.
 
 Single-device only (the multi-device path shards K across aggregate
 HBM instead -- parallel/mixed.py).  Requires a dtype-polymorphic
@@ -143,7 +146,12 @@ def choose_mode(n, cap_bytes=None):
     cap = _device_bytes_cap() if cap_bytes is None else cap_bytes
     if 9.0 * unit <= cap:
         return "ff"
-    if 4.5 * unit <= cap:
+    # recompute coefficient 4.2: XLA's measured value-program peak at
+    # n=32768 is 4.03 units (round-5 dump, artifacts/probe32k_r05.err)
+    # and n=28672 value+grad runs green on a 15.75 GB v5e; 32768 is
+    # measured-impossible on one chip (16.15 GB needed -- intrinsic
+    # {M, R, H} residents are 3 units and XLA scheduling adds ~1).
+    if 4.2 * unit <= cap:
         return "recompute"
     return None
 
