@@ -39,6 +39,8 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import sys
+import jax
+jax.config.update("jax_platforms", "cpu")   # figures are platform-free
 sys.path.insert(0, {repo!r})
 sys.path.insert(0, {repo_examples!r})
 import importlib
