@@ -767,10 +767,13 @@ class DifferentiableSelectionCriterion:
     def _compute(self, p):
         p = asarray(p)
         value, g = self._vg(p, self.x, self.z)
+        # one host transfer for (value, grad): separate float()/asarray
+        # fetches pay a full round-trip each on remote/tunneled devices
+        # (~30 ms apiece, which dominated small-n SLSQP fits)
+        value, g = jax.device_get((value, g))
         value = float(value)
         if not _onp.isfinite(value):
             return _onp.inf, _onp.zeros_like(_onp.asarray(p))
-        g = _onp.asarray(g)
         if not _onp.all(_onp.isfinite(g)):
             g = _onp.zeros_like(g)
         return value, g
