@@ -199,3 +199,33 @@ def test_choose_mode_and_poly_probe(problem):
 
     model64 = gp.Model(_mean, f64_kernel)
     assert not kernel_is_f32_polymorphic(model64, p0, xi)
+
+
+def test_dispatch_memory_model_v5e():
+    """Pin the calibrated memory model at the v5e cap (ADVICE r4: the
+    fixed n=20480 cutover left 16384<n<20480 routed to a resident
+    compile that OOMs).  cap = 0.85 * 16 GiB (the _device_bytes_cap
+    fallback for a 16 GB chip)."""
+    import gpmp_tpu.parallel.streamed as streamed_mod
+
+    cap = int(0.85 * 16 * 1024 ** 3)
+    # resident engine: fits at its measured max, not past it
+    assert streamed_mod._resident_fits(16384, cap_bytes=cap)
+    assert not streamed_mod._resident_fits(20480, cap_bytes=cap)
+    # streamed recompute: covers everything the resident cannot reach,
+    # up to the measured single-chip ceiling (28672); 32768 is
+    # measured-impossible (16.15 GB > 15.75 GB, round-5 dump)
+    assert streamed_mod.choose_mode(20480, cap_bytes=cap) is not None
+    assert streamed_mod.choose_mode(24576, cap_bytes=cap) == "recompute"
+    assert streamed_mod.choose_mode(28672, cap_bytes=cap) == "recompute"
+    assert streamed_mod.choose_mode(32768, cap_bytes=cap) is None
+    # no dispatch gap up to the measured single-chip ceiling: every n
+    # (512-divisible) either fits the resident engine or has a
+    # streamed mode; past the ceiling choose_mode correctly refuses
+    # (None -> "use a multi-device mesh"), never a resident route that
+    # would OOM at compile
+    for n in range(4096, 28672 + 1, 512):
+        assert (streamed_mod._resident_fits(n, cap_bytes=cap)
+                or streamed_mod.choose_mode(n, cap_bytes=cap) is not None), n
+    for n in range(29696, 40960, 512):
+        assert not streamed_mod._resident_fits(n, cap_bytes=cap), n
