@@ -216,9 +216,15 @@ def test_remap_mesh_mode_and_view():
 
 
 def test_mh_sampling_from_mesh_fit():
-    """Posterior MH on a mesh-fit criterion: the sharded criterion
-    cannot vmap over chains, so the sampler must fall back to
-    sequential per-chain evaluation automatically."""
+    """Posterior MH on a mesh-fit criterion.
+
+    Round-5 update: the sharded criterion's chain batching may run
+    vmapped UNDER JIT (shard_map has a batching rule; only the old
+    EAGER per-block probe failed, which round 5 removed from the hot
+    path) or fall back to sequential lax.map evaluation -- the
+    mechanism is an implementation detail.  What must hold either way:
+    finite samples AND traced log-targets that equal the criterion
+    re-evaluated at the traced points."""
     import gpmp_tpu as gp
     from gpmp_tpu.parallel.mesh import make_mesh
 
@@ -246,7 +252,14 @@ def test_mh_sampling_from_mesh_fit():
     )
     s = np.asarray(samples)
     assert np.isfinite(s).all()
-    assert mh._sequential_target
+    # end-to-end correctness pin, path-independent: the stored
+    # log-target at the final state equals a fresh criterion evaluation
+    import jax.numpy as jnp
+
+    p_last = np.asarray(mh.x[0, mh.global_iter])
+    lt_stored = float(mh.log_target_values[0, mh.global_iter])
+    lt_fresh = float(np.asarray(mh.log_target(jnp.asarray(p_last))))
+    assert abs(lt_fresh - lt_stored) <= 1e-6 * max(1.0, abs(lt_fresh))
 
 
 def test_factor_reuse_value_and_predict_parity():
