@@ -81,7 +81,8 @@ def kernel(x, y, covparam, pairwise=False):
 
 xt = gp.misc.designs.regulargrid(1, 200, [[-1],[1]])
 zt = gp.misc.testfunctions.twobumps(xt)
-xi = gp.misc.designs.ldrandunif(1, 6, [[-1],[1]], seed=42)
+np.random.seed(42)   # reference designs are unseeded (SURVEY section 4)
+xi = gp.misc.designs.ldrandunif(1, 6, [[-1],[1]])
 zi = gp.misc.testfunctions.twobumps(xi)
 
 ts = []
@@ -189,8 +190,16 @@ print(json.dumps({"paths_s": ts[len(ts)//2]}))
 """
 
 
-def bench_cond_sample_paths(with_reference=True, reps=5, nt=2000,
+def bench_cond_sample_paths(with_reference=True, reps=5, nt=500,
                             npaths=256):
+    # nt=500 is the largest 1-D Matern-5/2 grid (rho=0.7, no nugget)
+    # whose f64 Cholesky succeeds ROBUSTLY on every backend: past that
+    # cond(K) sits at the f64 edge where eps-level differences between
+    # distance code paths decide success (measured: nt=600 passes the
+    # cross-branch gram but fails the self-branch one on TPU; at
+    # nt>=800 every backend must raise per reference semantics,
+    # sample_paths.py:48-53).  A larger "TPU-scale" config would
+    # benchmark an error path, not the workload.
     import math
     import gpmp_tpu as gp
     import gpmp_tpu.num as gnp
